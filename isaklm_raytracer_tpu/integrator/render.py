@@ -1,0 +1,136 @@
+"""Progressive frame orchestration: the reference's render loop, headless.
+
+Equivalent of render.cuh:62-76 + the main loop (main.cu:114-155): each step
+adds one path-traced sample to every unconverged pixel, updating the
+G-buffer's running radiance / squared-luminance / count accumulators; the
+display image at any moment is the tonemapped per-pixel average
+(draw_frame, render.cuh:37-59). A camera move resets the accumulators
+(reset_frame, render.cuh:18-34).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from isaklm_raytracer_tpu.accel.traverse import nearest_hit_brute
+from isaklm_raytracer_tpu.camera.camera import Camera, generate_rays
+from isaklm_raytracer_tpu.config import RenderConfig
+from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
+from isaklm_raytracer_tpu.integrator.path_trace import trace_paths
+from isaklm_raytracer_tpu.math.color import correct_color, luminance
+from isaklm_raytracer_tpu.scene.types import GBuffer, Scene
+
+
+def make_trace_fn(scene: Scene, config: RenderConfig):
+    """Pick the intersector: KD traversal when the scene has a tree, else
+    the brute-force oracle."""
+    if scene.kd is not None:
+        from isaklm_raytracer_tpu.accel.kd_traverse import nearest_hit_kd
+
+        return functools.partial(
+            nearest_hit_kd, scene.kd, scene.vertices, t_eps=config.t_epsilon
+        )
+    return functools.partial(
+        nearest_hit_brute, vertices=scene.vertices, t_eps=config.t_epsilon
+    )
+
+
+def pixel_coords(config: RenderConfig):
+    """Flat pixel index -> (x, y), row-major y*W + x like the reference
+    (path_tracing.cuh:350)."""
+    idx = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    return idx % config.width, idx // config.width
+
+
+def render_sample(
+    scene: Scene,
+    camera: Camera,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    active: Optional[jnp.ndarray] = None,
+    trace_fn=None,
+) -> jnp.ndarray:
+    """One radiance sample for every pixel; returns (H*W, 3).
+
+    `active` optionally masks pixels (adaptive sampling); inactive pixels
+    still compute (uniform control flow) but their result is zeroed.
+    """
+    if trace_fn is None:
+        trace_fn = make_trace_fn(scene, config)
+    px, py = pixel_coords(config)
+    cam_u = jax.random.uniform(
+        jax.random.fold_in(key, 0), (config.num_pixels, 4), jnp.float32
+    )
+    origins, directions = generate_rays(
+        camera, config.width, config.height, px, py, cam_u
+    )
+    radiance = trace_paths(
+        scene, trace_fn, origins, directions, jax.random.fold_in(key, 1), config
+    )
+    if active is not None:
+        radiance = jnp.where(active[:, None], radiance, 0.0)
+    return radiance
+
+
+def render_step(
+    scene: Scene,
+    camera: Camera,
+    gbuffer: GBuffer,
+    key: jnp.ndarray,
+    config: RenderConfig,
+    adaptive: bool = True,
+    trace_fn=None,
+) -> GBuffer:
+    """Progressive step: path_tracing kernel + accumulate
+    (path_tracing.cuh:338-395)."""
+    active = needs_sample(gbuffer, config) if adaptive else None
+    radiance = render_sample(scene, camera, key, config, active, trace_fn)
+    took = (
+        active
+        if active is not None
+        else jnp.ones((config.num_pixels,), bool)
+    )
+    return GBuffer(
+        frame=gbuffer.frame + radiance,
+        sq_luminance=gbuffer.sq_luminance
+        + jnp.where(took, jnp.square(luminance(radiance)), 0.0),
+        count=gbuffer.count + took.astype(jnp.int32),
+    )
+
+
+def resolve_image(gbuffer: GBuffer, config: RenderConfig) -> jnp.ndarray:
+    """Tonemapped display image (H, W, 3) in [0,1] (draw_frame,
+    render.cuh:37-59): per-pixel average -> correct_color."""
+    counts = jnp.maximum(gbuffer.count, 1).astype(jnp.float32)
+    avg = gbuffer.frame / counts[:, None]
+    img = correct_color(avg)
+    return img.reshape(config.height, config.width, 3)
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    num_samples: int,
+    seed: int = 0,
+    adaptive: bool = False,
+    gbuffer: Optional[GBuffer] = None,
+) -> GBuffer:
+    """Render `num_samples` progressive steps (the reference's main loop,
+    main.cu:114-132, without the window)."""
+    if gbuffer is None:
+        gbuffer = GBuffer.create(config.num_pixels)
+    trace_fn = make_trace_fn(scene, config)
+
+    @functools.partial(jax.jit, static_argnames=("adaptive_",), donate_argnums=(0,))
+    def step(gb, k, adaptive_):
+        return render_step(scene, camera, gb, k, config, adaptive_, trace_fn)
+
+    base = jax.random.PRNGKey(seed)
+    for i in range(num_samples):
+        gbuffer = step(gbuffer, jax.random.fold_in(base, i), adaptive)
+    return gbuffer
