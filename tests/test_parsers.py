@@ -1,0 +1,195 @@
+"""OBJ + .mat parser tests against hand fixtures (mesh_loading.cuh parity:
+fan triangulation, negative indices, v-flip, false normals, smoothed
+normals, default uv = (1,1), lazy material loads, center+transform)."""
+
+import numpy as np
+import pytest
+
+from isaklm_raytracer_tpu.math import transforms
+from isaklm_raytracer_tpu.scene.mat import load_material
+from isaklm_raytracer_tpu.scene.obj import (
+    Transformation,
+    create_scene_from_files,
+    load_mesh,
+)
+
+MAT_FILE = """material red
+albedo 1.0 0.2 0.1
+roughness 0.5
+n 1.45
+
+material lamp
+albedo 0.7 0.7 0.7
+emittance 10 9 6.5
+roughness 0.2
+n 1.2
+
+material gold
+albedo 0.97 0.74 0.33
+n 0.27732
+k 2.9278
+
+material glass
+albedo 0.995 0.995 0.995
+n 1.51
+transparent
+"""
+
+
+@pytest.fixture()
+def mat_path(tmp_path):
+    p = tmp_path / "test.mat"
+    p.write_text(MAT_FILE)
+    return str(p)
+
+
+def test_mat_basic(mat_path):
+    m = load_material(mat_path, "red")
+    assert m["albedo"] == (1.0, 0.2, 0.1)
+    assert m["roughness"] == 0.5
+    assert m["ior"] == 1.45
+    assert m["extinction"] == 0.0
+    assert m["transparent"] == 0.0
+
+
+def test_mat_emissive_metal_glass(mat_path):
+    lamp = load_material(mat_path, "lamp")
+    assert lamp["emittance"] == (10.0, 9.0, 6.5)
+    gold = load_material(mat_path, "gold")
+    assert gold["extinction"] == 2.9278
+    glass = load_material(mat_path, "glass")
+    assert glass["transparent"] == 1.0
+    assert glass["ior"] == 1.51
+
+
+def test_mat_missing_name_defaults(mat_path):
+    m = load_material(mat_path, "nonexistent")
+    assert m["albedo"] == (0.0, 0.0, 0.0)
+    assert m["ior"] == 0.0
+
+
+def test_mat_section_ends_at_blank_line(tmp_path):
+    # keys after the blank line must NOT leak into the material
+    p = tmp_path / "m.mat"
+    p.write_text("material a\nalbedo 0.5 0.5 0.5\n\nroughness 0.9\n")
+    m = load_material(str(p), "a")
+    assert m["roughness"] == 0.0
+
+
+def quad_obj(tmp_path, body):
+    p = tmp_path / "mesh.obj"
+    p.write_text(body)
+    return str(p)
+
+
+def test_obj_quad_fan_triangulation(tmp_path, mat_path):
+    obj = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nusemtl red\nf 1 2 3 4\n",
+    )
+    mesh = load_mesh(obj, mat_path)
+    assert mesh.vertices.shape == (2, 3, 3)  # quad -> 2 triangles
+    assert mesh.material_names == ["red", "red"]
+    # fan: (v1, v2, v3) and (v1, v3, v4); mesh recentered on bbox center
+    c = np.array([0.5, 0.5, 0.0])
+    np.testing.assert_allclose(mesh.vertices[0, 0], [0, 0, 0] - c, atol=1e-6)
+    np.testing.assert_allclose(mesh.vertices[1, 2], [0, 1, 0] - c, atol=1e-6)
+
+
+def test_obj_negative_indices(tmp_path, mat_path):
+    obj = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl red\nf -3 -2 -1\n",
+    )
+    mesh = load_mesh(obj, mat_path)
+    assert mesh.vertices.shape == (1, 3, 3)
+    c = np.array([0.5, 0.5, 0.0])
+    np.testing.assert_allclose(mesh.vertices[0, 1], [1, 0, 0] - c, atol=1e-6)
+
+
+def test_obj_vt_v_flip_and_default_uv(tmp_path, mat_path):
+    obj = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvt 0.25 0.75\nusemtl red\nf 1/1 2 3\n",
+    )
+    mesh = load_mesh(obj, mat_path)
+    np.testing.assert_allclose(mesh.uvs[0, 0], [0.25, 0.25], atol=1e-6)  # 1 - 0.75
+    # corners without vt get the reference's literal ZERO_VEC2D = (1, 1)
+    np.testing.assert_allclose(mesh.uvs[0, 1], [1.0, 1.0], atol=1e-6)
+
+
+def test_obj_false_normal_skips_face(tmp_path, mat_path):
+    obj = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nvn 0 0 0\nvn 0 0 1\n"
+        "usemtl red\nf 1//1 2//2 3//2\nf 1//2 2//2 3//2\n",
+    )
+    mesh = load_mesh(obj, mat_path)
+    # first face's v1 references the zero normal -> whole face skipped
+    assert mesh.vertices.shape == (1, 3, 3)
+    np.testing.assert_allclose(mesh.normals[0, 0], [0, 0, 1], atol=1e-6)
+
+
+def test_obj_smooth_normals(tmp_path, mat_path):
+    # two faces sharing an edge; smoothed normals = normalized sum of unit
+    # face normals at shared positions
+    obj = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 1 0 1\nv 0 1 0\nusemtl red\nf 1 2 4\nf 2 3 4\n",
+    )
+    mesh = load_mesh(obj, mat_path, smooth_normals=True)
+    n0 = np.cross([1, 0, 0], [0, 1, 0])  # face 1 normal (0,0,1)
+    v1, v2, v3 = np.array([1, 0, 0]), np.array([1, 0, 1]), np.array([0, 1, 0])
+    n1 = np.cross(v2 - v1, v3 - v1)
+    n1 = n1 / np.linalg.norm(n1)
+    expected = n0 + n1
+    expected = expected / np.linalg.norm(expected)
+    # shared vertex 2 (index 1) appears as corner 1 of face 0
+    np.testing.assert_allclose(mesh.normals[0, 1], expected, atol=1e-5)
+
+
+def test_obj_flat_normals_without_smooth(tmp_path, mat_path):
+    obj = quad_obj(tmp_path, "v 0 0 0\nv 1 0 0\nv 0 1 0\nusemtl red\nf 1 2 3\n")
+    mesh = load_mesh(obj, mat_path, smooth_normals=False)
+    np.testing.assert_allclose(mesh.normals[0], [[0, 0, 1]] * 3, atol=1e-6)
+
+
+def test_obj_transform_center_then_rotate_offset(tmp_path, mat_path):
+    obj = quad_obj(tmp_path, "v 0 0 0\nv 2 0 0\nv 0 2 0\nusemtl red\nf 1 2 3\n")
+    rot = np.asarray(transforms.rotation_matrix(0.3), np.float32)
+    tr = Transformation(np.array([5.0, 0.0, 0.0], np.float32), rot * 2.0)
+    mesh = load_mesh(obj, mat_path, tr)
+    c = np.array([1.0, 1.0, 0.0])
+    expected = (np.array([0.0, 0.0, 0.0]) - c) @ (rot * 2.0).T + [5, 0, 0]
+    np.testing.assert_allclose(mesh.vertices[0, 0], expected, atol=1e-5)
+    # normals rotated and re-normalized (scale removed)
+    np.testing.assert_allclose(np.linalg.norm(mesh.normals[0, 0]), 1.0, atol=1e-5)
+
+
+def test_create_scene_from_files(tmp_path, mat_path):
+    obj1 = quad_obj(
+        tmp_path,
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nusemtl red\nf 1 2 3 4\n",
+    )
+    p2 = tmp_path / "lamp.obj"
+    p2.write_text("v 0 0 2\nv 1 0 2\nv 0 1 2\nusemtl lamp\nf 1 2 3\n")
+    scene = create_scene_from_files(
+        [
+            (obj1, mat_path, Transformation.identity(), False),
+            (str(p2), mat_path, Transformation.identity(), False),
+        ],
+        build_kd=True,
+        kd_depth=4,
+        kd_leaf=2,
+    )
+    assert scene.num_triangles == 3
+    assert scene.has_lights
+    # lamp triangle (index 2) is the only light
+    np.testing.assert_array_equal(np.asarray(scene.light_indices), [2])
+    assert scene.kd is not None
+    # materials resolved by name
+    mats = scene.materials
+    mid = np.asarray(scene.mat_id)
+    alb = np.asarray(mats.albedo)
+    np.testing.assert_allclose(alb[mid[0]], [1.0, 0.2, 0.1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mats.emittance)[mid[2]], [10, 9, 6.5], atol=1e-6)
