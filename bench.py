@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark: rays/sec/chip for the wavefront path tracer (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "rays/sec/chip (fwd)", "value": N, "unit": "rays/s",
+   "vs_baseline": N / BASELINE_RAYS_PER_SEC, ...extras}
+
+Definition: the wavefront integrator executes `max_bounces` bounce steps
+per sample, each tracing one extension ray and one NEE shadow ray for every
+pixel lane (masked lanes still traverse -- that IS the work the chip does),
+so rays = pixels * spp * max_bounces * 2. The reference publishes no
+numbers (SURVEY.md section 6); BASELINE_RAYS_PER_SEC pins this repo's
+round-1 measurement so vs_baseline tracks self-improvement.
+
+Usage: python bench.py [--preset quick|default|hero] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Round-1 reference point (TPU v5e single chip, default preset).
+BASELINE_RAYS_PER_SEC = 470e6
+
+
+def build_bench(preset: str):
+    import numpy as np
+
+    from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
+    from isaklm_raytracer_tpu.camera import Camera
+    from isaklm_raytracer_tpu.config import RenderConfig
+    from isaklm_raytracer_tpu.scene import procedural
+
+    if preset == "quick":
+        config = RenderConfig(width=256, height=256, max_bounces=6)
+        scene = procedural.material_demo_scene()
+        steps, warmup = 4, 1
+    elif preset == "hero":
+        config = RenderConfig(width=1920, height=1080, max_bounces=8)
+        scene = procedural.hero_scene(2_000_000)
+        steps, warmup = 4, 1
+    else:
+        config = RenderConfig(width=512, height=512, max_bounces=8)
+        scene = procedural.material_demo_scene()
+        steps, warmup = 8, 2
+
+    scene = scene.replace(kd=build_kd_tree(np.asarray(scene.vertices)))
+    camera = Camera.create(position=(0.0, 1.2, -1.8), pitch=0.15, fov=3.14159 / 2)
+    return scene, camera, config, steps, warmup
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--preset", default="default", choices=["quick", "default", "hero"])
+    parser.add_argument("--json-only", action="store_true")
+    parser.add_argument("--no-bwd", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from isaklm_raytracer_tpu.integrator.render import make_trace_fn, render_sample
+
+    scene, camera, config, steps, warmup = build_bench(args.preset)
+    trace_fn = make_trace_fn(scene, config)
+    device = jax.devices()[0]
+    log = (lambda *a: None) if args.json_only else (lambda *a: print(*a, file=sys.stderr))
+    log(f"bench: preset={args.preset} device={device.device_kind} "
+        f"tris={scene.num_triangles} res={config.width}x{config.height} "
+        f"bounces={config.max_bounces}")
+
+    @jax.jit
+    def fwd(key):
+        return render_sample(scene, camera, key, config, trace_fn=trace_fn)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    fwd(key).block_until_ready()
+    log(f"fwd compile: {time.perf_counter() - t0:.1f}s")
+
+    for i in range(warmup):
+        fwd(jax.random.fold_in(key, i)).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        fwd(jax.random.fold_in(key, 100 + i)).block_until_ready()
+    fwd_time = (time.perf_counter() - t0) / steps
+
+    rays_per_sample = config.num_pixels * config.max_bounces * 2
+    fwd_rays = rays_per_sample / fwd_time
+
+    result = {
+        "metric": "rays/sec/chip (fwd)",
+        "value": round(fwd_rays),
+        "unit": "rays/s",
+        "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_SEC, 4),
+        "preset": args.preset,
+        "triangles": scene.num_triangles,
+        "resolution": f"{config.width}x{config.height}",
+        "max_bounces": config.max_bounces,
+        "fwd_ms_per_sample": round(fwd_time * 1e3, 2),
+    }
+
+    if not args.no_bwd:
+        @jax.jit
+        def fwd_bwd(albedo, key):
+            def loss(a):
+                s = scene.replace(materials=scene.materials.replace(albedo=a))
+                return jnp.mean(
+                    render_sample(s, camera, key, config, trace_fn=trace_fn)
+                )
+            return jax.grad(loss)(albedo)
+
+        t0 = time.perf_counter()
+        fwd_bwd(scene.materials.albedo, key).block_until_ready()
+        log(f"fwd+bwd compile: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(max(steps // 2, 1)):
+            fwd_bwd(scene.materials.albedo, jax.random.fold_in(key, 200 + i)).block_until_ready()
+        bwd_time = (time.perf_counter() - t0) / max(steps // 2, 1)
+        result["fwd_bwd_ms_per_sample"] = round(bwd_time * 1e3, 2)
+        result["rays_per_sec_fwd_bwd"] = round(rays_per_sample / bwd_time)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -158,15 +158,14 @@ def _traverse_one(kd: KDTreeArrays, vertices, t_eps, o, d):
         inner_node = jnp.where(far_only, far, near)
         inner_exit = jnp.where(push, t_plane, s["exit"])
 
-        # ---- leaf step (trace_ray.cuh:308-314): scan, then return-or-pop
-        count = kd.child_b[node]
+        # ---- leaf step (trace_ray.cuh:308-314): scan, then return-or-pop.
+        # No lax.cond here: under vmap a batched-predicate cond would
+        # broadcast the closed-over vertex array per ray; instead the scan
+        # runs unconditionally with a zero trip count on inner nodes.
+        count = jnp.where(leaf, kd.child_b[node], 0)
         offset = kd.child_a[node]
-        leaf_t, leaf_i = jax.lax.cond(
-            leaf & (count > 0),
-            lambda: _leaf_scan(
-                vertices, kd.tri_indices, o, d, offset, count, s["exit"], t_eps
-            ),
-            lambda: (s["exit"], jnp.int32(-1)),
+        leaf_t, leaf_i = _leaf_scan(
+            vertices, kd.tri_indices, o, d, offset, count, s["exit"], t_eps
         )
         leaf_hit = leaf_i >= 0
 

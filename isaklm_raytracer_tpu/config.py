@@ -45,6 +45,10 @@ class RenderConfig:
     max_bounces: int = 24
     rr_start_bounce: int = 0
     t_epsilon: float = 1e-5
+    # Wavefront rays per inner launch: the image is processed in fixed-size
+    # ray chunks via lax.map, so the compiled program (and its compile time /
+    # VMEM footprint) is independent of resolution. 0 disables chunking.
+    ray_chunk: int = 16384
 
     def __post_init__(self) -> None:
         if self.width <= 0 or self.height <= 0:

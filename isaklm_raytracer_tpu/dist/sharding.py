@@ -1,0 +1,195 @@
+"""Multi-chip / multi-host scaling via jax.sharding + shard_map.
+
+The reference's only parallelism is one CUDA grid on one GPU
+(render.cuh:64-65); scaling here is TPU-native (SURVEY.md section 2.3):
+
+  - a 2-axis device mesh ("tile", "sample"): pixels sharded over "tile",
+    independent sample streams over "sample" (spp-parallel); geometry,
+    KD tree and materials replicated (small scenes) -- the layout maps
+    image reduction onto ICI psum over "sample" and keeps the per-chip
+    wavefront purely local;
+  - rendering: each device traces its pixel chunk with keys derived from
+    GLOBAL pixel ids, so N-chip output == 1-chip output exactly (modulo the
+    extra averaged sample streams);
+  - training (inverse rendering): per-device loss on its pixel shard,
+    gradients for the replicated parameter pytree psum'd over the whole
+    mesh -- XLA overlaps the all-reduce with the backward wavefront;
+  - multi-host: the same code runs under jax.distributed.initialize with a
+    global mesh; see cli/render.py --multihost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from isaklm_raytracer_tpu.camera.camera import Camera
+from isaklm_raytracer_tpu.config import RenderConfig
+from isaklm_raytracer_tpu.integrator.render import make_trace_fn, render_sample
+from isaklm_raytracer_tpu.scene.types import Scene
+
+
+def make_render_mesh(
+    num_tile: Optional[int] = None,
+    num_sample: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("tile", "sample") mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if num_tile is None:
+        num_tile = len(devices) // num_sample
+    if num_tile * num_sample != len(devices):
+        raise ValueError(
+            f"mesh {num_tile}x{num_sample} != {len(devices)} devices"
+        )
+    return Mesh(devices.reshape(num_tile, num_sample), ("tile", "sample"))
+
+
+def _pad_pixels(config: RenderConfig, num_tile: int) -> int:
+    """Pixels per tile shard, padded so the count divides evenly."""
+    return -(-config.num_pixels // num_tile)
+
+
+def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
+    """Returns jitted render(camera, key) -> (H*W, 3) radiance, averaged
+    over the mesh's sample axis and sharded over its tile axis.
+
+    One call adds `sample_axis_size` progressive samples per pixel (each
+    device's stream keyed by its sample-axis index).
+    """
+    num_tile = mesh.shape["tile"]
+    num_sample = mesh.shape["sample"]
+    per_tile = _pad_pixels(config, num_tile)
+    total = per_tile * num_tile
+
+    trace_fn = make_trace_fn(scene, config)
+
+    def per_device(pixel_ids, camera, key):
+        # pixel_ids: (1, per_tile) local chunk
+        s_idx = jax.lax.axis_index("sample")
+        dev_key = jax.random.fold_in(key, s_idx)
+        radiance = render_sample(
+            scene,
+            camera,
+            dev_key,
+            config,
+            trace_fn=trace_fn,
+            pixel_ids=pixel_ids[0],
+        )
+        radiance = jax.lax.pmean(radiance, "sample")
+        return radiance[None]
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("tile", None), P(), P()),
+        out_specs=P("tile", None, None),
+        check_vma=False,
+    )
+
+    pixel_ids = jnp.arange(total, dtype=jnp.int32).reshape(num_tile, per_tile)
+    pixel_ids = jnp.minimum(pixel_ids, config.num_pixels - 1)
+    pixel_ids = jax.device_put(pixel_ids, NamedSharding(mesh, P("tile", None)))
+
+    @jax.jit
+    def run(camera: Camera, key):
+        radiance = shard(pixel_ids, camera, key)
+        return radiance.reshape(total, 3)[: config.num_pixels]
+
+    return run, num_sample
+
+
+def sharded_train_step_fn(
+    scene: Scene,
+    config: RenderConfig,
+    mesh: Mesh,
+    learning_rate: float = 0.05,
+):
+    """Returns jitted train_step(params, camera, target, key) ->
+    (params, loss) doing one SGD step of inverse rendering: params is the
+    differentiable MaterialTable (+ camera pose could be added by the
+    caller); the loss is the mean squared error between the rendered
+    radiance and the target image, pixels sharded over "tile", gradients
+    psum'd over the full mesh.
+    """
+    num_tile = mesh.shape["tile"]
+    per_tile = _pad_pixels(config, num_tile)
+    total = per_tile * num_tile
+
+    trace_fn_cache = {}
+
+    float_fields = (
+        "albedo", "emittance", "roughness", "ior", "extinction", "transparent"
+    )
+
+    def per_device(pixel_ids, valid, params, camera, target, key):
+        pixel_ids = pixel_ids[0]
+        valid = valid[0]
+        target = target[0]
+
+        def local_loss(floats, cam):
+            p = params.replace(**dict(zip(float_fields, floats)))
+            s = scene.replace(materials=p)
+            if "fn" not in trace_fn_cache:
+                trace_fn_cache["fn"] = make_trace_fn(s, config)
+            s_idx = jax.lax.axis_index("sample")
+            dev_key = jax.random.fold_in(key, s_idx)
+            radiance = render_sample(
+                s, cam, dev_key, config, trace_fn=trace_fn_cache["fn"],
+                pixel_ids=pixel_ids,
+            )
+            err = jnp.where(valid[:, None], radiance - target, 0.0)
+            # mean over ALL real pixels and the sample axis
+            return jnp.sum(err * err) / (3.0 * config.num_pixels)
+
+        floats = tuple(getattr(params, f) for f in float_fields)
+        loss, grads = jax.value_and_grad(local_loss)(floats, camera)
+        # Cross-device reduction: tile-partial losses sum; gradients of the
+        # replicated params all-reduce over both axes. XLA schedules these
+        # collectives to overlap with the backward wavefront.
+        loss = jax.lax.psum(loss, ("tile", "sample")) / mesh.shape["sample"]
+        grads = jax.lax.psum(grads, ("tile", "sample"))
+        return loss, grads
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P("tile", None), P("tile", None), P(), P(), P("tile", None, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    ids = np.arange(total, dtype=np.int32)
+    valid_np = ids < config.num_pixels
+    ids = np.minimum(ids, config.num_pixels - 1)
+    pixel_ids = jax.device_put(
+        jnp.asarray(ids).reshape(num_tile, per_tile),
+        NamedSharding(mesh, P("tile", None)),
+    )
+    valid = jax.device_put(
+        jnp.asarray(valid_np).reshape(num_tile, per_tile),
+        NamedSharding(mesh, P("tile", None)),
+    )
+
+    @jax.jit
+    def train_step(params, camera, target, key):
+        # target: (H*W, 3) -> padded tile shards
+        pad = total - config.num_pixels
+        t = jnp.pad(target, ((0, pad), (0, 0))).reshape(num_tile, per_tile, 3)
+        loss, grads = shard(pixel_ids, valid, params, camera, t, key)
+        updates = {
+            f: getattr(params, f) - learning_rate * g
+            for f, g in zip(
+                ("albedo", "emittance", "roughness", "ior", "extinction",
+                 "transparent"),
+                grads,
+            )
+        }
+        return params.replace(**updates), loss
+
+    return train_step

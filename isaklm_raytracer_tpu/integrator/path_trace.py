@@ -18,8 +18,12 @@ Estimator bookkeeping preserved exactly:
   - RR survival probability = max throughput channel, reweight 1/p
     (path_tracing.cuh:309-318).
 
-Randomness: counter-based threefry keys folded per (bounce, purpose);
-deterministic for a given (seed, sample index, pixel) under any sharding.
+Randomness: each ray carries its own threefry key derived from the GLOBAL
+pixel index (see integrator.render.ray_keys), folded per bounce -- so the
+sample sequence of a pixel is a pure function of (seed, sample index,
+pixel id), independent of how rays are sharded across devices or reordered
+by compaction. This is the TPU-native replacement for the reference's
+per-pixel mutable PCG state (path_tracing.cuh:34-43, screen.cuh:34-45).
 """
 
 from __future__ import annotations
@@ -39,20 +43,21 @@ def trace_paths(
     trace_fn,
     origins: jnp.ndarray,
     directions: jnp.ndarray,
-    key: jnp.ndarray,
+    ray_keys: jnp.ndarray,
     config: RenderConfig,
 ) -> jnp.ndarray:
     """Trace one full path per ray; returns outgoing radiance (R, 3).
 
     trace_fn(o, d) -> (t, idx, hit): pluggable nearest-hit intersector.
+    ray_keys: (R,) PRNG keys, one per ray (integrator.render.ray_keys).
     """
     num_rays = origins.shape[0]
 
     def bounce_step(state, bounce):
         (ray_o, ray_d, throughput, radiance, inside, prev_diffuse, active) = state
 
-        bkey = jax.random.fold_in(key, bounce)
-        u = jax.random.uniform(bkey, (9, num_rays), jnp.float32)
+        bkeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(ray_keys, bounce)
+        u = jax.vmap(lambda k: jax.random.uniform(k, (9,), jnp.float32))(bkeys).T
 
         t, idx, hit = trace_fn(ray_o, ray_d)
         attrs = hit_attributes(scene, ray_o, ray_d, idx, hit)

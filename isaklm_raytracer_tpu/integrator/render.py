@@ -46,6 +46,15 @@ def pixel_coords(config: RenderConfig):
     return idx % config.width, idx // config.width
 
 
+def ray_keys(key: jnp.ndarray, pixel_ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray PRNG keys from GLOBAL pixel ids: fold_in(key, pixel_id).
+
+    Makes every pixel's sample sequence a pure function of (seed, sample
+    index, pixel id) -- identical regardless of device sharding or ray
+    reordering (SURVEY.md section 2.3: deterministic under sharding)."""
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pixel_ids)
+
+
 def render_sample(
     scene: Scene,
     camera: Camera,
@@ -53,24 +62,48 @@ def render_sample(
     config: RenderConfig,
     active: Optional[jnp.ndarray] = None,
     trace_fn=None,
+    pixel_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One radiance sample for every pixel; returns (H*W, 3).
+    """One radiance sample per pixel; returns (R, 3).
 
-    `active` optionally masks pixels (adaptive sampling); inactive pixels
-    still compute (uniform control flow) but their result is zeroed.
+    `pixel_ids` (global flat ids) selects a pixel subset -- the unit of
+    sharding across devices; default = all pixels. `active` optionally masks
+    pixels (adaptive sampling); inactive pixels still compute (uniform
+    control flow) but their result is zeroed.
     """
     if trace_fn is None:
         trace_fn = make_trace_fn(scene, config)
-    px, py = pixel_coords(config)
-    cam_u = jax.random.uniform(
-        jax.random.fold_in(key, 0), (config.num_pixels, 4), jnp.float32
-    )
-    origins, directions = generate_rays(
-        camera, config.width, config.height, px, py, cam_u
-    )
-    radiance = trace_paths(
-        scene, trace_fn, origins, directions, jax.random.fold_in(key, 1), config
-    )
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
+    num_rays = pixel_ids.shape[0]
+
+    def run_chunk(ids):
+        px = ids % config.width
+        py = ids // config.width
+        keys = ray_keys(key, ids)
+        cam_u = jax.vmap(
+            lambda k: jax.random.uniform(
+                jax.random.fold_in(k, 0x7FFFFFFF), (4,), jnp.float32
+            )
+        )(keys)
+        origins, directions = generate_rays(
+            camera, config.width, config.height, px, py, cam_u
+        )
+        return trace_paths(scene, trace_fn, origins, directions, keys, config)
+
+    chunk = config.ray_chunk
+    if chunk and num_rays > chunk:
+        # Fixed-size inner launches: one compiled chunk program regardless of
+        # resolution, sequenced by lax.map (the TPU analog of the reference's
+        # fixed 20x45 grid of 3x3-pixel cells, render.cuh:64-65).
+        num_chunks = -(-num_rays // chunk)
+        padded = num_chunks * chunk
+        ids = jnp.concatenate(
+            [pixel_ids, jnp.zeros((padded - num_rays,), jnp.int32)]
+        ).reshape(num_chunks, chunk)
+        radiance = jax.lax.map(run_chunk, ids).reshape(padded, 3)[:num_rays]
+    else:
+        radiance = run_chunk(pixel_ids)
     if active is not None:
         radiance = jnp.where(active[:, None], radiance, 0.0)
     return radiance

@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4: distributed tests without a cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaklm_raytracer_tpu.camera import Camera
+from isaklm_raytracer_tpu.config import RenderConfig
+from isaklm_raytracer_tpu.dist.sharding import (
+    make_render_mesh,
+    sharded_render_fn,
+    sharded_train_step_fn,
+)
+from isaklm_raytracer_tpu.integrator.render import render_sample
+from isaklm_raytracer_tpu.scene.procedural import cornell_box
+
+CONFIG = RenderConfig(width=24, height=24, max_bounces=4)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return cornell_box(include_blockers=False)
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return Camera.create((0.0, 0.0, -0.9), fov=jnp.pi / 2)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_tile_sharded_render_equals_single_device(scene, camera):
+    """Same seed => N-chip image identical to 1-chip image (global-pixel
+    keyed RNG)."""
+    key = jax.random.PRNGKey(5)
+    r1 = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
+    mesh = make_render_mesh(num_tile=8, num_sample=1)
+    run, _ = sharded_render_fn(scene, CONFIG, mesh)
+    r8 = run(camera, key)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-5)
+
+
+def test_sample_axis_reduces_variance(scene, camera):
+    key = jax.random.PRNGKey(2)
+    mesh1 = make_render_mesh(num_tile=8, num_sample=1)
+    mesh8 = make_render_mesh(num_tile=1, num_sample=8)
+    run1, n1 = sharded_render_fn(scene, CONFIG, mesh1)
+    run8, n8 = sharded_render_fn(scene, CONFIG, mesh8)
+    assert n1 == 1 and n8 == 8
+    # reference: high-spp estimate
+    ref = np.mean(
+        [
+            np.asarray(
+                render_sample(scene, camera, jax.random.PRNGKey(100 + i), CONFIG)
+            )
+            for i in range(16)
+        ],
+        axis=0,
+    )
+    e1 = np.abs(np.asarray(run1(camera, key)) - ref).mean()
+    e8 = np.abs(np.asarray(run8(camera, key)) - ref).mean()
+    assert e8 < e1  # 8 averaged sample streams must be closer to the mean
+
+
+def test_train_step_runs_and_reduces_loss(scene, camera):
+    key = jax.random.PRNGKey(7)
+    target = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
+    mesh = make_render_mesh(num_tile=4, num_sample=2)
+    step = sharded_train_step_fn(scene, CONFIG, mesh, learning_rate=0.05)
+    params = scene.materials.replace(albedo=scene.materials.albedo * 0.4)
+    first = None
+    p = params
+    # average a few steps to beat MC noise
+    early, late = [], []
+    for i in range(10):
+        p, loss = step(p, camera, target, jax.random.fold_in(key, 10 + i))
+        (early if i < 3 else late).append(float(loss))
+    assert np.isfinite(early + late).all()
+    assert np.mean(late) < np.mean(early)
+
+
+def test_train_step_grads_replicated(scene, camera):
+    """Gradients must be identical on every device (psum over full mesh)."""
+    key = jax.random.PRNGKey(3)
+    target = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
+    mesh = make_render_mesh(num_tile=2, num_sample=4)
+    step = sharded_train_step_fn(scene, CONFIG, mesh, learning_rate=0.05)
+    p, loss = step(scene.materials, camera, target, key)
+    # updated params replicate cleanly back to host
+    arr = np.asarray(p.albedo)
+    assert np.isfinite(arr).all()
+
+
+def test_graft_entry_contract():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
+
+    mod.dryrun_multichip(8)
