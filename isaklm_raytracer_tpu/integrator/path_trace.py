@@ -85,12 +85,14 @@ def trace_paths(
 
         # Russian roulette (path_tracing.cuh:309-318). Note the reference
         # divides by the raw max channel even when it exceeds 1; replicated.
+        # Bounces below rr_start_bounce skip RR entirely (neither kill nor
+        # reweight) -- used to make the estimator smooth for FD checks.
         survival = jnp.max(new_throughput, axis=-1)
-        rr_alive = u[8] <= survival
-        if config.rr_start_bounce > 0:
-            rr_alive = rr_alive | (bounce < config.rr_start_bounce)
+        apply_rr = bounce >= config.rr_start_bounce
+        rr_alive = (u[8] <= survival) | (~apply_rr)
         new_throughput = jnp.where(
-            rr_alive[:, None], new_throughput / jnp.maximum(survival, 1e-30)[:, None],
+            (apply_rr & rr_alive)[:, None],
+            new_throughput / jnp.maximum(survival, 1e-30)[:, None],
             new_throughput,
         )
 
