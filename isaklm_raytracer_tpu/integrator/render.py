@@ -152,9 +152,14 @@ def render(
     seed: int = 0,
     adaptive: bool = False,
     gbuffer: Optional[GBuffer] = None,
+    sample_offset: int = 0,
 ) -> GBuffer:
     """Render `num_samples` progressive steps (the reference's main loop,
-    main.cu:114-132, without the window)."""
+    main.cu:114-132, without the window).
+
+    `sample_offset` continues the key sequence across calls (progressive
+    batches / checkpoint resume): step i uses fold_in(seed, offset + i).
+    """
     if gbuffer is None:
         gbuffer = GBuffer.create(config.num_pixels)
     trace_fn = make_trace_fn(scene, config)
@@ -165,5 +170,5 @@ def render(
 
     base = jax.random.PRNGKey(seed)
     for i in range(num_samples):
-        gbuffer = step(gbuffer, jax.random.fold_in(base, i), adaptive)
+        gbuffer = step(gbuffer, jax.random.fold_in(base, sample_offset + i), adaptive)
     return gbuffer

@@ -81,16 +81,45 @@ def load_mesh(
     smooth_normals: bool = False,
     materials: Optional[dict] = None,
     texture_registry: Optional[TextureRegistry] = None,
+    use_native: bool = True,
 ) -> LoadedMesh:
     """Parse one OBJ file into transformed triangle arrays.
 
     `materials` (name -> material dict) accumulates lazily-loaded materials
     across meshes; pass the same dict for every mesh of a scene.
+    `use_native` prefers the C++ parser (native/obj_loader.cpp); output is
+    identical to the Python path, which remains the fallback/oracle.
     """
     if transformation is None:
         transformation = Transformation.identity()
     if materials is None:
         materials = {}
+
+    loader = None
+    if texture_registry is not None:
+        loader = texture_registry.load
+
+    parsed = None
+    if use_native:
+        from isaklm_raytracer_tpu.native import obj_parse_native
+
+        try:
+            parsed = obj_parse_native(model_file_path)
+        except FileNotFoundError:
+            raise
+    if parsed is not None:
+        # Lazy material loads in the order usemtl appeared
+        # (mesh_loading.cuh:290-298); -1 face_mat = no usemtl yet.
+        for name in parsed["mat_names"]:
+            if name not in materials:
+                materials[name] = load_material(material_file_path, name, loader)
+        names_by_id = parsed["mat_names"]
+        return _assemble(
+            parsed["positions"], parsed["normals"], parsed["uvs"],
+            parsed["face_pos"], parsed["face_uv"], parsed["face_nrm"],
+            [names_by_id[m] if m >= 0 else "" for m in parsed["face_mat"]],
+            transformation, smooth_normals,
+        )
 
     positions: list[np.ndarray] = []
     normals: list[np.ndarray] = []
@@ -98,10 +127,6 @@ def load_mesh(
     false_normals: set[int] = set()
     faces: list[tuple] = []  # (v1, v2, v3, material_name)
     material_name = ""
-
-    loader = None
-    if texture_registry is not None:
-        loader = texture_registry.load
 
     with open(model_file_path, "r") as f:
         for raw in f:
@@ -142,62 +167,15 @@ def load_mesh(
     nrm_arr = np.stack(normals) if normals else np.zeros((0, 3), np.float32)
     uv_arr = np.stack(uvs) if uvs else np.zeros((0, 2), np.float32)
 
-    num_faces = len(faces)
-    tri_v = np.zeros((num_faces, 3, 3), np.float32)
-    tri_n = np.zeros((num_faces, 3, 3), np.float32)
-    tri_uv = np.tile(DEFAULT_UV, (num_faces, 3, 1))
-    names: list[str] = []
-
-    if num_faces:
-        f_idx = np.array(
-            [[v[0] for v in face[:3]] for face in faces], np.int64
-        )  # (N, 3) position indices
-        p1, p2, p3 = pos_arr[f_idx[:, 0]], pos_arr[f_idx[:, 1]], pos_arr[f_idx[:, 2]]
-        face_n = np.cross(p2 - p1, p3 - p1)
-        lens = np.linalg.norm(face_n, axis=-1, keepdims=True)
-        face_n = face_n / np.where(lens > 0, lens, 1.0)
-
-        # Smoothed normals: per-position sum of unit face normals
-        # (mesh_loading.cuh:328-342). Left unnormalized here on purpose.
-        computed = np.zeros_like(pos_arr)
-        if smooth_normals:
-            for c in range(3):
-                np.add.at(computed, f_idx[:, c], face_n)
-
-        tri_v[:, 0], tri_v[:, 1], tri_v[:, 2] = p1, p2, p3
-        for c in range(3):
-            nrm_idx = np.array([face[c][2] for face in faces], np.int64)
-            has_vn = nrm_idx >= 0
-            if len(nrm_arr):
-                corner = nrm_arr[np.clip(nrm_idx, 0, len(nrm_arr) - 1)]
-            else:
-                corner = np.zeros((num_faces, 3), np.float32)
-            if smooth_normals:
-                fallback = computed[f_idx[:, c]]
-            else:
-                fallback = face_n
-            tri_n[:, c] = np.where(has_vn[:, None], corner, fallback)
-
-            uv_idx = np.array([face[c][1] for face in faces], np.int64)
-            has_uv = uv_idx >= 0
-            if len(uv_arr):
-                tri_uv[:, c] = np.where(
-                    has_uv[:, None], uv_arr[np.maximum(uv_idx, 0)], DEFAULT_UV
-                )
-        names = [face[3] for face in faces]
-
-        # Center on bbox center, then transform (mesh_loading.cuh:418-439).
-        bmin = tri_v.reshape(-1, 3).min(axis=0)
-        bmax = tri_v.reshape(-1, 3).max(axis=0)
-        center = (bmin + bmax) * 0.5
-        m = np.asarray(transformation.matrix, np.float32)
-        off = np.asarray(transformation.offset, np.float32)
-        tri_v = (tri_v - center) @ m.T + off
-        tri_n = tri_n @ m.T
-        lens = np.linalg.norm(tri_n, axis=-1, keepdims=True)
-        tri_n = tri_n / np.where(lens > 0, lens, 1.0)
-
-    return LoadedMesh(tri_v, tri_n, tri_uv, names)
+    face_pos = np.array([[v[0] for v in face[:3]] for face in faces], np.int32)
+    face_uv = np.array([[v[1] for v in face[:3]] for face in faces], np.int32)
+    face_nrm = np.array([[v[2] for v in face[:3]] for face in faces], np.int32)
+    names = [face[3] for face in faces]
+    return _assemble(
+        pos_arr, nrm_arr, uv_arr, face_pos.reshape(-1, 3),
+        face_uv.reshape(-1, 3), face_nrm.reshape(-1, 3), names,
+        transformation, smooth_normals,
+    )
 
 
 DEFAULT_MATERIAL = {
@@ -247,3 +225,71 @@ def create_scene_from_files(
             kd=build_kd_tree(vertices, max_depth=kd_depth, leaf_size=kd_leaf)
         )
     return scene
+
+
+def _assemble(
+    pos_arr: np.ndarray,
+    nrm_arr: np.ndarray,
+    uv_arr: np.ndarray,
+    face_pos: np.ndarray,
+    face_uv: np.ndarray,
+    face_nrm: np.ndarray,
+    names: list,
+    transformation: Transformation,
+    smooth_normals: bool,
+) -> LoadedMesh:
+    """Vectorized triangle assembly + transform (mesh_loading.cuh:328-439).
+
+    face_*: (F, 3) per-corner indices into pos/uv/nrm arrays, -1 = absent.
+    """
+    num_faces = len(face_pos)
+    face_pos = face_pos.reshape(-1, 3)
+    tri_v = np.zeros((num_faces, 3, 3), np.float32)
+    tri_n = np.zeros((num_faces, 3, 3), np.float32)
+    tri_uv = np.tile(DEFAULT_UV, (num_faces, 3, 1))
+    if not num_faces:
+        return LoadedMesh(tri_v, tri_n, tri_uv, list(names))
+
+    f_idx = face_pos.astype(np.int64)
+    p1, p2, p3 = pos_arr[f_idx[:, 0]], pos_arr[f_idx[:, 1]], pos_arr[f_idx[:, 2]]
+    face_n = np.cross(p2 - p1, p3 - p1)
+    lens = np.linalg.norm(face_n, axis=-1, keepdims=True)
+    face_n = face_n / np.where(lens > 0, lens, 1.0)
+
+    # Smoothed normals: per-position sum of unit face normals
+    # (mesh_loading.cuh:328-342). Left unnormalized here on purpose.
+    computed = np.zeros_like(pos_arr)
+    if smooth_normals:
+        for c in range(3):
+            np.add.at(computed, f_idx[:, c], face_n)
+
+    tri_v[:, 0], tri_v[:, 1], tri_v[:, 2] = p1, p2, p3
+    for c in range(3):
+        nrm_idx = face_nrm[:, c].astype(np.int64)
+        has_vn = nrm_idx >= 0
+        if len(nrm_arr):
+            corner = nrm_arr[np.clip(nrm_idx, 0, len(nrm_arr) - 1)]
+        else:
+            corner = np.zeros((num_faces, 3), np.float32)
+        fallback = computed[f_idx[:, c]] if smooth_normals else face_n
+        tri_n[:, c] = np.where(has_vn[:, None], corner, fallback)
+
+        uv_idx = face_uv[:, c].astype(np.int64)
+        has_uv = uv_idx >= 0
+        if len(uv_arr):
+            tri_uv[:, c] = np.where(
+                has_uv[:, None], uv_arr[np.clip(uv_idx, 0, len(uv_arr) - 1)],
+                DEFAULT_UV,
+            )
+
+    # Center on bbox center, then transform (mesh_loading.cuh:418-439).
+    bmin = tri_v.reshape(-1, 3).min(axis=0)
+    bmax = tri_v.reshape(-1, 3).max(axis=0)
+    center = (bmin + bmax) * 0.5
+    m = np.asarray(transformation.matrix, np.float32)
+    off = np.asarray(transformation.offset, np.float32)
+    tri_v = (tri_v - center) @ m.T + off
+    tri_n = tri_n @ m.T
+    lens = np.linalg.norm(tri_n, axis=-1, keepdims=True)
+    tri_n = tri_n / np.where(lens > 0, lens, 1.0)
+    return LoadedMesh(tri_v, tri_n, tri_uv, list(names))

@@ -1,0 +1,144 @@
+"""PNG round-trip, checkpoint/resume, CLI, and interactive session tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isaklm_raytracer_tpu.camera import Camera
+from isaklm_raytracer_tpu.config import RenderConfig
+from isaklm_raytracer_tpu.integrator.render import render, resolve_image
+from isaklm_raytracer_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from isaklm_raytracer_tpu.io.png import _decode_png, load_image, save_png
+from isaklm_raytracer_tpu.scene.procedural import cornell_box
+from isaklm_raytracer_tpu.scene.types import GBuffer
+from isaklm_raytracer_tpu.viewer import InteractiveSession
+
+CONFIG = RenderConfig(width=16, height=16, max_bounces=3, min_samples=1, max_samples=8)
+
+
+def test_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.random((7, 9, 3)).astype(np.float32)
+    path = str(tmp_path / "x.png")
+    save_png(path, img, flip_vertical=False)
+    back = load_image(path)[..., :3].astype(np.float32) / 255.0
+    np.testing.assert_allclose(back, img, atol=1 / 255.0 + 1e-6)
+
+
+def test_png_own_decoder_matches_pil(tmp_path):
+    rng = np.random.default_rng(1)
+    img = (rng.random((5, 6, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "y.png")
+    save_png(path, img, flip_vertical=False)
+    ours = _decode_png(path)
+    pil = load_image(path)
+    np.testing.assert_array_equal(ours, pil)
+
+
+def test_png_vertical_flip(tmp_path):
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0] = 255  # bottom row (y=0) white
+    path = str(tmp_path / "z.png")
+    save_png(path, img)  # default flip: y=0 row becomes last PNG row
+    back = load_image(path)
+    assert back[1, 0, 0] == 255 and back[0, 0, 0] == 0
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    scene = cornell_box(include_blockers=False)
+    camera = Camera.create((0.0, 0.0, -0.9), fov=jnp.pi / 2)
+    # straight-through: 6 samples
+    gb_full = render(scene, camera, CONFIG, num_samples=6, seed=3)
+    # split: 3 + checkpoint + 3
+    gb_a = render(scene, camera, CONFIG, num_samples=3, seed=3)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, gb_a, camera, seed=3, next_sample=3)
+    gb_b, cam_b, seed_b, next_b = load_checkpoint(path)
+    assert seed_b == 3 and next_b == 3
+    gb_resumed = render(
+        scene, cam_b, CONFIG, num_samples=3, seed=seed_b, gbuffer=gb_b,
+        sample_offset=next_b,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gb_full.frame), np.asarray(gb_resumed.frame), atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gb_full.count), np.asarray(gb_resumed.count)
+    )
+
+
+def test_interactive_session_reset_on_input():
+    scene = cornell_box(include_blockers=False)
+    camera = Camera.create((0.0, 0.0, -0.9), fov=jnp.pi / 2)
+    sess = InteractiveSession(scene, camera, CONFIG, adaptive=False)
+    sess.step()
+    sess.step()
+    assert sess.sample_count == 2
+    assert np.asarray(sess.gbuffer.count).max() == 2
+    moved = sess.handle_input({"w"}, time_step=0.1)
+    assert moved
+    assert sess.sample_count == 0  # accumulation restarted (camera.cuh:38)
+    assert np.asarray(sess.gbuffer.count).max() == 0
+    old_z = float(camera.position[2])
+    assert float(sess.camera.position[2]) > old_z  # moved forward
+    img = sess.run(max_samples=2)
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_cli_renders_png(tmp_path):
+    out = str(tmp_path / "out.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "isaklm_raytracer_tpu.cli.render",
+            "--scene", "cornell", "--width", "24", "--height", "24",
+            "--max-samples", "4", "--min-samples", "1", "--max-bounces", "3",
+            "--kd-depth", "6", "--kd-leaf", "4",
+            "--camera", "0", "0", "-0.9", "0", "0", "--aperture", "0",
+            "--out", out,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out)
+    img = load_image(out)
+    assert img.shape == (24, 24, 4)
+    assert "triangle count: 36" in res.stderr
+
+
+def test_cli_scene_manifest(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 2\nv 1 0 2\nv 0 1 2\nusemtl lamp\nf 1 2 3\n")
+    mat = tmp_path / "tri.mat"
+    mat.write_text("material lamp\nalbedo 0.5 0.5 0.5\nemittance 5 5 5\n")
+    manifest = tmp_path / "scene.json"
+    manifest.write_text(
+        json.dumps([
+            {"obj": str(obj), "mat": str(mat), "offset": [0, 0, 2], "scale": 1.0}
+        ])
+    )
+    out = str(tmp_path / "m.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "isaklm_raytracer_tpu.cli.render",
+            "--scene", str(manifest), "--width", "8", "--height", "8",
+            "--max-samples", "2", "--min-samples", "1", "--max-bounces", "2",
+            "--kd-depth", "3", "--kd-leaf", "2",
+            "--camera", "0", "0", "0", "0", "0", "--aperture", "0",
+            "--out", out,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "triangle count: 1" in res.stderr
+    assert os.path.exists(out)
