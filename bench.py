@@ -29,7 +29,7 @@ BASELINE_RAYS_PER_SEC = 470e6
 def build_bench(preset: str):
     import numpy as np
 
-    from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
+    from isaklm_raytracer_tpu.accel import prepare_scene
     from isaklm_raytracer_tpu.camera import Camera
     from isaklm_raytracer_tpu.config import RenderConfig
     from isaklm_raytracer_tpu.scene import procedural
@@ -47,7 +47,7 @@ def build_bench(preset: str):
         scene = procedural.material_demo_scene()
         steps, warmup = 8, 2
 
-    scene = scene.replace(kd=build_kd_tree(np.asarray(scene.vertices)))
+    scene = prepare_scene(scene)
     camera = Camera.create(position=(0.0, 1.2, -1.8), pitch=0.15, fov=3.14159 / 2)
     return scene, camera, config, steps, warmup
 

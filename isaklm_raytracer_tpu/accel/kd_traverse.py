@@ -195,19 +195,24 @@ def _traverse_one(kd: KDTreeArrays, vertices, t_eps, o, d):
     return t, final["best_i"], hit
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps",))
 def nearest_hit_kd(
     kd: KDTreeArrays,
     vertices: jnp.ndarray,
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_eps: float = 1e-5,
+    active=None,
 ):
     """Batched nearest-hit via KD traversal.
 
     o, d: (R, 3). Returns (t (R,), idx (R,) int32, hit (R,) bool), detached.
+    `active` masks lanes to an immediate miss.
     """
     t, idx, hit = jax.vmap(functools.partial(_traverse_one, kd, vertices, t_eps))(o, d)
+    if active is not None:
+        hit = hit & active
+        idx = jnp.where(active, idx, -1)
+        t = jnp.where(active, t, jnp.inf)
     return (
         jax.lax.stop_gradient(t),
         jax.lax.stop_gradient(idx),

@@ -76,6 +76,7 @@ def nearest_hit_brute(
     vertices: jnp.ndarray,
     t_eps: float = 1e-5,
     chunk: int = 2048,
+    active=None,
 ):
     """Nearest hit over all triangles; exact oracle for the KD traversal.
 
@@ -113,6 +114,10 @@ def nearest_hit_brute(
     )
     (best_t, best_idx, _), _ = jax.lax.scan(body, init, chunks)
     hit = jnp.isfinite(best_t)
+    if active is not None:
+        hit = hit & active
+        best_idx = jnp.where(active, best_idx, -1)
+        best_t = jnp.where(active, best_t, _INF)
     return (
         jax.lax.stop_gradient(best_t),
         jax.lax.stop_gradient(best_idx),

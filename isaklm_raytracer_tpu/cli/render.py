@@ -62,7 +62,7 @@ def parse_args(argv=None):
 def load_scene(args):
     import numpy as np
 
-    from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
+    from isaklm_raytracer_tpu.accel import prepare_scene
     from isaklm_raytracer_tpu.scene import procedural
     from isaklm_raytracer_tpu.scene.obj import (
         Transformation,
@@ -105,11 +105,7 @@ def load_scene(args):
             kd_leaf=args.kd_leaf,
         )
     if not args.no_kd:
-        scene = scene.replace(
-            kd=build_kd_tree(
-                np.asarray(scene.vertices), args.kd_depth, args.kd_leaf
-            )
-        )
+        scene = prepare_scene(scene, args.kd_depth, args.kd_leaf)
     return scene
 
 

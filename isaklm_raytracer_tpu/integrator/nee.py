@@ -31,6 +31,7 @@ def sample_direct_light(
     u_tri1: jnp.ndarray,
     u_tri2: jnp.ndarray,
     trace_fn,
+    active=None,
 ) -> jnp.ndarray:
     """Direct light estimate at `position` (R, 3). Returns radiance (R, 3).
 
@@ -50,7 +51,7 @@ def sample_direct_light(
     to_light = point - position
     shadow_dir = transforms.normalize(to_light)
 
-    t, idx, hit = trace_fn(position, shadow_dir)
+    t, idx, hit = trace_fn(position, shadow_dir, active=active)
     visible = hit & (idx == light_idx)
 
     attrs = hit_attributes(scene, position, shadow_dir, idx, hit)

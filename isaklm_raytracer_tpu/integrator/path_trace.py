@@ -59,7 +59,7 @@ def trace_paths(
         bkeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(ray_keys, bounce)
         u = jax.vmap(lambda k: jax.random.uniform(k, (9,), jnp.float32))(bkeys).T
 
-        t, idx, hit = trace_fn(ray_o, ray_d)
+        t, idx, hit = trace_fn(ray_o, ray_d, active=active)
         attrs = hit_attributes(scene, ray_o, ray_d, idx, hit)
 
         live = active & hit
@@ -75,10 +75,11 @@ def trace_paths(
         new_throughput = throughput * event.weight
 
         if scene.has_lights:
-            direct = sample_direct_light(
-                scene, attrs.position, attrs.normal, u[5], u[6], u[7], trace_fn
-            )
             nee_mask = live & event.is_diffuse
+            direct = sample_direct_light(
+                scene, attrs.position, attrs.normal, u[5], u[6], u[7], trace_fn,
+                active=nee_mask,
+            )
             radiance = radiance + jnp.where(
                 nee_mask[:, None], direct * new_throughput, 0.0
             )

@@ -26,8 +26,15 @@ from isaklm_raytracer_tpu.scene.types import GBuffer, Scene
 
 
 def make_trace_fn(scene: Scene, config: RenderConfig):
-    """Pick the intersector: KD traversal when the scene has a tree, else
-    the brute-force oracle."""
+    """Pick the intersector, in descending preference: batched lockstep
+    KD traversal (TPU-native), vmapped scalar KD walk, brute-force oracle.
+    All share the signature trace(o, d, active=None) -> (t, idx, hit)."""
+    if scene.wkd is not None:
+        from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront
+
+        return functools.partial(
+            nearest_hit_wavefront, scene.wkd, t_eps=config.t_epsilon
+        )
     if scene.kd is not None:
         from isaklm_raytracer_tpu.accel.kd_traverse import nearest_hit_kd
 

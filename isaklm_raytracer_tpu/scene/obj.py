@@ -219,11 +219,9 @@ def create_scene_from_files(
 
     scene = build_scene(vertices, normals, uvs, mat_id, table, registry.build())
     if build_kd and len(vertices):
-        from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
+        from isaklm_raytracer_tpu.accel import prepare_scene
 
-        scene = scene.replace(
-            kd=build_kd_tree(vertices, max_depth=kd_depth, leaf_size=kd_leaf)
-        )
+        scene = prepare_scene(scene, max_depth=kd_depth, leaf_size=kd_leaf)
     return scene
 
 

@@ -132,6 +132,9 @@ class Scene:
     materials: MaterialTable
     textures: TextureAtlas
     kd: Optional[KDTreeArrays] = None
+    # Batched-traversal re-layout (accel.wavefront.WavefrontKD); typed Any
+    # to avoid a scene<->accel import cycle.
+    wkd: Optional[object] = None
     has_lights: bool = struct.field(pytree_node=False, default=True)
 
     @property

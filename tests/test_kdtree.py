@@ -98,3 +98,61 @@ def test_duplicated_straddlers_no_false_hit():
     kd = build_kd_tree(np.asarray(scene.vertices), max_depth=10, leaf_size=2)
     o, d = random_rays(512, 3.0, seed=7)
     assert_matches_oracle(scene.vertices, kd, o, d)
+
+
+class TestWavefront:
+    """Batched lockstep traversal (accel/wavefront.py) vs the oracle."""
+
+    def _check(self, scene, extent, seed, kd_kwargs=None, leaf_width=8):
+        from isaklm_raytracer_tpu.accel.wavefront import (
+            build_wavefront_kd,
+            nearest_hit_wavefront,
+        )
+
+        V = np.asarray(scene.vertices)
+        kd = build_kd_tree(V, **(kd_kwargs or {}))
+        wkd = build_wavefront_kd(kd, V, leaf_width=leaf_width)
+        o, d = random_rays(512, extent, seed)
+        t_b, i_b, h_b = nearest_hit_brute(o, d, scene.vertices)
+        t_w, i_w, h_w = nearest_hit_wavefront(wkd, o, d)
+        np.testing.assert_array_equal(np.asarray(h_w), np.asarray(h_b))
+        hits = np.asarray(h_b)
+        np.testing.assert_allclose(
+            np.asarray(t_w)[hits], np.asarray(t_b)[hits], rtol=1e-5, atol=1e-5
+        )
+        same = np.asarray(i_w) == np.asarray(i_b)
+        assert same[hits].mean() > 0.99
+
+    def test_cornell(self):
+        self._check(cornell_box(), 0.95, 0, dict(max_depth=8, leaf_size=4))
+
+    def test_soup(self):
+        self._check(triangle_soup(3000, seed=3), 12.0, 1)
+
+    def test_straddlers(self):
+        self._check(
+            triangle_soup(64, seed=9, extent=2.0, tri_size=1.5), 3.0, 7,
+            dict(max_depth=10, leaf_size=2),
+        )
+
+    def test_chunk_chains(self):
+        # leaf_width 2 forces multi-chunk chains through most leaves
+        self._check(cornell_box(), 0.95, 2, dict(max_depth=4, leaf_size=7),
+                    leaf_width=2)
+
+    def test_active_mask(self):
+        from isaklm_raytracer_tpu.accel.wavefront import (
+            build_wavefront_kd,
+            nearest_hit_wavefront,
+        )
+
+        scene = cornell_box()
+        V = np.asarray(scene.vertices)
+        wkd = build_wavefront_kd(build_kd_tree(V), V)
+        o, d = random_rays(64, 0.9, 11)
+        active = jnp.arange(64) % 2 == 0
+        t, i, h = nearest_hit_wavefront(wkd, o, d, active=active)
+        assert not np.asarray(h)[1::2].any()
+        t2, i2, h2 = nearest_hit_wavefront(wkd, o, d)
+        np.testing.assert_array_equal(np.asarray(h)[::2], np.asarray(h2)[::2])
+        np.testing.assert_array_equal(np.asarray(i)[::2], np.asarray(i2)[::2])
