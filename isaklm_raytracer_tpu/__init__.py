@@ -14,6 +14,16 @@ device meshes.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Rendering is cancellation-sensitive (plane-offset minus origin dots,
+# barycentric denominators) and every matmul in this framework is tiny
+# (K = 3 ray/vertex contractions), so the TPU MXU's default bf16 matmul
+# precision corrupts hit distances by whole percents for zero speedup.
+# Force full-f32 contractions framework-wide; hot kernels that want bf16
+# opt in locally via `precision=` / `preferred_element_type=`.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from isaklm_raytracer_tpu.config import RenderConfig
 
 __all__ = ["RenderConfig", "__version__"]

@@ -4,6 +4,11 @@ from isaklm_raytracer_tpu.accel.traverse import (
     nearest_hit_brute,
 )
 from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
+from isaklm_raytracer_tpu.accel.cluster import (
+    ClusterBVH,
+    build_cluster_bvh,
+    morton_order,
+)
 from isaklm_raytracer_tpu.accel.wavefront import (
     WavefrontKD,
     build_wavefront_kd,
@@ -13,20 +18,54 @@ from isaklm_raytracer_tpu.accel.wavefront import (
 
 def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
                   leaf_width: int = 8):
-    """Build the KD tree + batched-traversal layout for a Scene."""
+    """Build every acceleration structure for a Scene.
+
+    1. Morton-renumbers the triangles (accel.cluster.morton_order) so the
+       Pallas cluster kernel can reconstruct triangle ids as c*128 + lane;
+       all per-triangle arrays and the light list are permuted consistently,
+       so ids stay coherent across the whole framework.
+    2. Builds the cluster BVH (Pallas packet kernel, the production TPU
+       intersector).
+    3. Builds the KD tree + batched lockstep traversal layout (the pure-XLA
+       fallback used on CPU / for the multi-chip dryrun, and the parity
+       reference for the reference's KD semantics, create_kd_tree.cuh).
+    """
     import numpy as np
 
-    kd = build_kd_tree(np.asarray(scene.vertices), max_depth, leaf_size)
-    wkd = build_wavefront_kd(kd, np.asarray(scene.vertices), leaf_width)
-    return scene.replace(kd=kd, wkd=wkd)
+    verts = np.asarray(scene.vertices)
+    order = morton_order(verts)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+
+    import jax.numpy as jnp
+
+    lights = jnp.asarray(
+        np.sort(inv[np.asarray(scene.light_indices)]).astype(np.int32)
+    )
+    scene = scene.replace(
+        vertices=scene.vertices[order],
+        normals=scene.normals[order],
+        uvs=scene.uvs[order],
+        mat_id=scene.mat_id[order],
+        light_indices=lights,
+    )
+
+    verts = verts[order]
+    cbvh = build_cluster_bvh(verts)
+    kd = build_kd_tree(verts, max_depth, leaf_size)
+    wkd = build_wavefront_kd(kd, verts, leaf_width)
+    return scene.replace(kd=kd, wkd=wkd, cbvh=cbvh)
 
 
 __all__ = [
+    "ClusterBVH",
     "HitAttributes",
     "WavefrontKD",
+    "build_cluster_bvh",
     "build_kd_tree",
     "build_wavefront_kd",
     "hit_attributes",
+    "morton_order",
     "nearest_hit_brute",
     "nearest_hit_wavefront",
     "prepare_scene",

@@ -1,0 +1,159 @@
+"""Cluster BVH: the TPU-native acceleration structure for the Pallas path.
+
+Instead of translating the reference's per-ray stackful KD walk
+(trace_ray.cuh:244-318) -- whose per-ray gathers/scatters are latency-bound
+on vector hardware -- triangles are sorted by the Morton code of their
+centroid and packed into fixed-width CLUSTERS of 128 (one VPU lane each),
+grouped into SUPERCLUSTERS of 64 clusters. Each cluster stores a compact
+(16, 128) f32 constant block (one padded VREG tile) holding everything the
+intersection test needs, precomputed:
+
+  rows 0-2   geometric normal n = cross(e1, e2)          (unnormalised)
+  rows 3-5   edge e1 = p2 - p1
+  rows 6-8   edge e2 = p3 - p1
+  row  9     n . p1        (plane offset)
+  row 10     p1 . e1
+  row 11     p1 . e2
+  row 12     d11 / den     (Cramer barycentric coefficients,
+  row 13     d01 / den      den = d00*d11 - d01^2;
+  row 14     d00 / den      trace_ray.cuh:48-71 folded into constants)
+  row 15     pad
+
+so a cluster visit in the kernel is ~40 broadcast FMAs on (B, 128) tiles
+and zero gathers. This is a partition (no straddler duplication, unlike
+create_kd_tree.cuh:176-218): correctness comes from taking the min hit over
+every cluster whose bbox the ray pierces, so no ordering or early-out
+bookkeeping is needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+CLUSTER_WIDTH = 128  # triangles per cluster = one lane dim
+SUP_BRANCH = 64  # clusters per supercluster
+
+
+@struct.dataclass
+class ClusterBVH:
+    """Two-level cluster hierarchy consumed by kernels/intersect.py.
+
+    Built for a scene whose triangles are ALREADY in Morton order (see
+    `morton_order` + accel.prepare_scene): cluster c holds exactly triangles
+    [c*128, (c+1)*128), so the kernel reconstructs global triangle ids as
+    c*128 + lane with no id table and no gathers.
+    """
+
+    sup_bbox: jnp.ndarray  # (S, 8) f32: min xyz, max xyz, pad pad
+    clu_bbox: jnp.ndarray  # (C, 8) f32
+    tri_const: jnp.ndarray  # (C, 16, 128) f32 (see module docstring)
+    num_triangles: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.tri_const.shape[0]
+
+    @property
+    def vmem_bytes(self) -> int:
+        return self.tri_const.size * 4
+
+
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit integer coords into a 30-bit Morton code."""
+
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def morton_order(vertices: np.ndarray) -> np.ndarray:
+    """Morton-sort permutation of triangles by quantised centroid.
+
+    Returns `order` (T,) int64 such that vertices[order] is Morton-ordered.
+    accel.prepare_scene applies it to ALL per-triangle scene arrays so that
+    triangle ids stay consistent everywhere.
+    """
+    vertices = np.asarray(vertices, np.float32)
+    centroids = vertices.mean(axis=1)  # (T, 3)
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    q = np.clip(((centroids - lo) / span) * 1023.0, 0, 1023).astype(np.uint32)
+    return np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+
+
+def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
+    """Host-side build over ALREADY Morton-ordered triangles.
+
+    vertices: (T, 3, 3) float32 triangle vertex positions (in the order
+    produced by `morton_order`; cluster c = triangles [c*128, (c+1)*128)).
+    """
+    vertices = np.asarray(vertices, np.float32)
+    num_tris = vertices.shape[0]
+
+    num_clusters = max(1, -(-num_tris // CLUSTER_WIDTH))
+    num_clusters = -(-num_clusters // SUP_BRANCH) * SUP_BRANCH  # pad to S*64
+    num_sup = num_clusters // SUP_BRANCH
+
+    tri_ids = np.full(num_clusters * CLUSTER_WIDTH, -1, np.int64)
+    tri_ids[:num_tris] = np.arange(num_tris)
+    tri_ids = tri_ids.reshape(num_clusters, CLUSTER_WIDTH)
+
+    # Per-slot triangle data (degenerate zeros in padding -> the kernel's
+    # ddn == 0 / NaN rejections kill pad slots with no extra masking).
+    safe = np.maximum(tri_ids, 0)
+    tri = vertices[safe]  # (C, W, 3, 3)
+    pad_mask = (tri_ids < 0)[..., None]
+    p1 = np.where(pad_mask, 0.0, tri[:, :, 0])
+    e1 = np.where(pad_mask, 0.0, tri[:, :, 1] - tri[:, :, 0])
+    e2 = np.where(pad_mask, 0.0, tri[:, :, 2] - tri[:, :, 0])
+    n = np.cross(e1, e2)
+
+    d00 = np.sum(e1 * e1, axis=-1)
+    d01 = np.sum(e1 * e2, axis=-1)
+    d11 = np.sum(e2 * e2, axis=-1)
+    den = d00 * d11 - d01 * d01
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_den = np.where(den != 0.0, 1.0 / den, 0.0)
+
+    tri_const = np.zeros((num_clusters, 16, CLUSTER_WIDTH), np.float32)
+    tri_const[:, 0:3] = np.moveaxis(n, -1, 1)
+    tri_const[:, 3:6] = np.moveaxis(e1, -1, 1)
+    tri_const[:, 6:9] = np.moveaxis(e2, -1, 1)
+    tri_const[:, 9] = np.sum(n * p1, axis=-1)
+    tri_const[:, 10] = np.sum(p1 * e1, axis=-1)
+    tri_const[:, 11] = np.sum(p1 * e2, axis=-1)
+    tri_const[:, 12] = d11 * inv_den
+    tri_const[:, 13] = d01 * inv_den
+    tri_const[:, 14] = d00 * inv_den
+
+    # Bounding boxes; empty/pad clusters get an inverted box so the slab
+    # test always culls them.
+    clu_bbox = np.zeros((num_clusters, 8), np.float32)
+    clu_bbox[:, 0:3] = 3e38
+    clu_bbox[:, 3:6] = -3e38
+    valid_slot = tri_ids >= 0  # (C, W)
+    vmin = np.where(valid_slot[..., None, None], tri, 3e38).min(axis=(1, 2))
+    vmax = np.where(valid_slot[..., None, None], tri, -3e38).max(axis=(1, 2))
+    has_any = valid_slot.any(axis=1)
+    clu_bbox[has_any, 0:3] = vmin[has_any]
+    clu_bbox[has_any, 3:6] = vmax[has_any]
+
+    sup_bbox = np.zeros((num_sup, 8), np.float32)
+    grouped = clu_bbox.reshape(num_sup, SUP_BRANCH, 8)
+    sup_bbox[:, 0:3] = grouped[:, :, 0:3].min(axis=1)
+    sup_bbox[:, 3:6] = grouped[:, :, 3:6].max(axis=1)
+
+    return ClusterBVH(
+        sup_bbox=jnp.asarray(sup_bbox),
+        clu_bbox=jnp.asarray(clu_bbox),
+        tri_const=jnp.asarray(tri_const),
+        num_triangles=num_tris,
+    )

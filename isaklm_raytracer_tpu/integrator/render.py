@@ -26,9 +26,17 @@ from isaklm_raytracer_tpu.scene.types import GBuffer, Scene
 
 
 def make_trace_fn(scene: Scene, config: RenderConfig):
-    """Pick the intersector, in descending preference: batched lockstep
-    KD traversal (TPU-native), vmapped scalar KD walk, brute-force oracle.
-    All share the signature trace(o, d, active=None) -> (t, idx, hit)."""
+    """Pick the intersector, in descending preference: Pallas cluster-BVH
+    packet kernel (production TPU path), batched lockstep KD traversal
+    (pure XLA -- CPU fallback / multi-chip dryrun), vmapped scalar KD walk,
+    brute-force oracle. All share trace(o, d, active=None) -> (t, idx, hit)."""
+    backend = jax.default_backend()
+    if scene.cbvh is not None and backend != "cpu":
+        from isaklm_raytracer_tpu.kernels.intersect import nearest_hit_cluster
+
+        return functools.partial(
+            nearest_hit_cluster, scene.cbvh, t_eps=config.t_epsilon
+        )
     if scene.wkd is not None:
         from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront
 

@@ -135,6 +135,10 @@ class Scene:
     # Batched-traversal re-layout (accel.wavefront.WavefrontKD); typed Any
     # to avoid a scene<->accel import cycle.
     wkd: Optional[object] = None
+    # Cluster BVH for the Pallas packet kernel (accel.cluster.ClusterBVH);
+    # only valid when the scene's triangles are Morton-renumbered
+    # (accel.prepare_scene does both together).
+    cbvh: Optional[object] = None
     has_lights: bool = struct.field(pytree_node=False, default=True)
 
     @property
