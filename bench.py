@@ -22,8 +22,11 @@ import json
 import sys
 import time
 
-# Round-1 reference point (TPU v5e single chip, default preset).
-BASELINE_RAYS_PER_SEC = 470e6
+# Round-1 measured reference point (TPU v5e single chip, default preset:
+# 512x512 @ 8 bounces, 660-tri scene, Pallas cluster-BVH intersector).
+# The reference publishes no throughput numbers (SURVEY.md section 6), so
+# vs_baseline tracks self-improvement against this pinned measurement.
+BASELINE_RAYS_PER_SEC = 4.19e6
 
 
 def build_bench(preset: str):
@@ -39,9 +42,13 @@ def build_bench(preset: str):
         scene = procedural.material_demo_scene()
         steps, warmup = 4, 1
     elif preset == "hero":
-        config = RenderConfig(width=1920, height=1080, max_bounces=8)
+        # 2M-triangle scene (the reference hero size, README.md:12). The
+        # render window is kept at 640x360 so one jitted sample stays well
+        # under the tunnel's ~60s single-execution ceiling; rays/s is what
+        # the metric tracks and is resolution-independent at this scale.
+        config = RenderConfig(width=640, height=360, max_bounces=6)
         scene = procedural.hero_scene(2_000_000)
-        steps, warmup = 4, 1
+        steps, warmup = 2, 1
     else:
         config = RenderConfig(width=512, height=512, max_bounces=8)
         scene = procedural.material_demo_scene()
@@ -65,27 +72,29 @@ def main() -> None:
     from isaklm_raytracer_tpu.integrator.render import make_trace_fn, render_sample
 
     scene, camera, config, steps, warmup = build_bench(args.preset)
-    trace_fn = make_trace_fn(scene, config)
     device = jax.devices()[0]
     log = (lambda *a: None) if args.json_only else (lambda *a: print(*a, file=sys.stderr))
     log(f"bench: preset={args.preset} device={device.device_kind} "
         f"tris={scene.num_triangles} res={config.width}x{config.height} "
         f"bounces={config.max_bounces}")
 
+    # The scene is a jit ARGUMENT (not a closure constant): closed-over
+    # arrays get baked into the compile payload, which at hero scale
+    # (~400MB of geometry + cluster table) overflows the compile service.
     @jax.jit
-    def fwd(key):
-        return render_sample(scene, camera, key, config, trace_fn=trace_fn)
+    def fwd(scene_, key):
+        return render_sample(scene_, camera, key, config)
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    fwd(key).block_until_ready()
+    fwd(scene, key).block_until_ready()
     log(f"fwd compile: {time.perf_counter() - t0:.1f}s")
 
     for i in range(warmup):
-        fwd(jax.random.fold_in(key, i)).block_until_ready()
+        fwd(scene, jax.random.fold_in(key, i)).block_until_ready()
     t0 = time.perf_counter()
     for i in range(steps):
-        fwd(jax.random.fold_in(key, 100 + i)).block_until_ready()
+        fwd(scene, jax.random.fold_in(key, 100 + i)).block_until_ready()
     fwd_time = (time.perf_counter() - t0) / steps
 
     rays_per_sample = config.num_pixels * config.max_bounces * 2
@@ -105,20 +114,18 @@ def main() -> None:
 
     if not args.no_bwd:
         @jax.jit
-        def fwd_bwd(albedo, key):
+        def fwd_bwd(scene_, albedo, key):
             def loss(a):
-                s = scene.replace(materials=scene.materials.replace(albedo=a))
-                return jnp.mean(
-                    render_sample(s, camera, key, config, trace_fn=trace_fn)
-                )
+                s = scene_.replace(materials=scene_.materials.replace(albedo=a))
+                return jnp.mean(render_sample(s, camera, key, config))
             return jax.grad(loss)(albedo)
 
         t0 = time.perf_counter()
-        fwd_bwd(scene.materials.albedo, key).block_until_ready()
+        fwd_bwd(scene, scene.materials.albedo, key).block_until_ready()
         log(f"fwd+bwd compile: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(max(steps // 2, 1)):
-            fwd_bwd(scene.materials.albedo, jax.random.fold_in(key, 200 + i)).block_until_ready()
+            fwd_bwd(scene, scene.materials.albedo, jax.random.fold_in(key, 200 + i)).block_until_ready()
         bwd_time = (time.perf_counter() - t0) / max(steps // 2, 1)
         result["fwd_bwd_ms_per_sample"] = round(bwd_time * 1e3, 2)
         result["rays_per_sec_fwd_bwd"] = round(rays_per_sample / bwd_time)

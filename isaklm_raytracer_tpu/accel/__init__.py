@@ -16,8 +16,11 @@ from isaklm_raytracer_tpu.accel.wavefront import (
 )
 
 
+KD_BUILD_LIMIT = 300_000  # above this, skip the host KD build by default
+
+
 def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
-                  leaf_width: int = 8):
+                  leaf_width: int = 8, build_kd: bool | None = None):
     """Build every acceleration structure for a Scene.
 
     1. Morton-renumbers the triangles (accel.cluster.morton_order) so the
@@ -29,6 +32,9 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     3. Builds the KD tree + batched lockstep traversal layout (the pure-XLA
        fallback used on CPU / for the multi-chip dryrun, and the parity
        reference for the reference's KD semantics, create_kd_tree.cuh).
+       For scenes above KD_BUILD_LIMIT triangles the KD build is skipped by
+       default (build_kd=None -> auto): the cluster BVH is the production
+       path there and the host-side KD build would dominate startup.
     """
     import numpy as np
 
@@ -52,9 +58,13 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
 
     verts = verts[order]
     cbvh = build_cluster_bvh(verts)
-    kd = build_kd_tree(verts, max_depth, leaf_size)
-    wkd = build_wavefront_kd(kd, verts, leaf_width)
-    return scene.replace(kd=kd, wkd=wkd, cbvh=cbvh)
+    if build_kd is None:
+        build_kd = verts.shape[0] <= KD_BUILD_LIMIT
+    if build_kd:
+        kd = build_kd_tree(verts, max_depth, leaf_size)
+        wkd = build_wavefront_kd(kd, verts, leaf_width)
+        scene = scene.replace(kd=kd, wkd=wkd)
+    return scene.replace(cbvh=cbvh)
 
 
 __all__ = [

@@ -17,7 +17,9 @@ intersection test needs, precomputed:
   row 12     d11 / den     (Cramer barycentric coefficients,
   row 13     d01 / den      den = d00*d11 - d01^2;
   row 14     d00 / den      trace_ray.cuh:48-71 folded into constants)
-  row 15     pad
+  row 15     lanes 0-5 = the CLUSTER's bbox (minxyz, maxxyz) -- cluster-level
+             culling data rides inside the block itself, so the kernels read
+             it with scalar loads and no separate bbox table is needed
 
 so a cluster visit in the kernel is ~40 broadcast FMAs on (B, 128) tiles
 and zero gathers. This is a partition (no straddler duplication, unlike
@@ -33,6 +35,7 @@ import numpy as np
 from flax import struct
 
 CLUSTER_WIDTH = 128  # triangles per cluster = one lane dim
+OCT_BRANCH = 8  # clusters per oct (the DMA unit of the big-scene kernel)
 SUP_BRANCH = 64  # clusters per supercluster
 
 
@@ -47,6 +50,7 @@ class ClusterBVH:
     """
 
     sup_bbox: jnp.ndarray  # (S, 8) f32: min xyz, max xyz, pad pad
+    oct_bbox: jnp.ndarray  # (C/8, 8) f32 -- merged boxes of 8-cluster octs
     clu_bbox: jnp.ndarray  # (C, 8) f32
     tri_const: jnp.ndarray  # (C, 16, 128) f32 (see module docstring)
     num_triangles: int = struct.field(pytree_node=False, default=0)
@@ -146,13 +150,22 @@ def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
     clu_bbox[has_any, 0:3] = vmin[has_any]
     clu_bbox[has_any, 3:6] = vmax[has_any]
 
+    tri_const[:, 15, 0:8] = clu_bbox
+
     sup_bbox = np.zeros((num_sup, 8), np.float32)
     grouped = clu_bbox.reshape(num_sup, SUP_BRANCH, 8)
     sup_bbox[:, 0:3] = grouped[:, :, 0:3].min(axis=1)
     sup_bbox[:, 3:6] = grouped[:, :, 3:6].max(axis=1)
 
+    num_oct = num_clusters // OCT_BRANCH
+    oct_bbox = np.zeros((num_oct, 8), np.float32)
+    og = clu_bbox.reshape(num_oct, OCT_BRANCH, 8)
+    oct_bbox[:, 0:3] = og[:, :, 0:3].min(axis=1)
+    oct_bbox[:, 3:6] = og[:, :, 3:6].max(axis=1)
+
     return ClusterBVH(
         sup_bbox=jnp.asarray(sup_bbox),
+        oct_bbox=jnp.asarray(oct_bbox),
         clu_bbox=jnp.asarray(clu_bbox),
         tri_const=jnp.asarray(tri_const),
         num_triangles=num_tris,

@@ -32,11 +32,18 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     brute-force oracle. All share trace(o, d, active=None) -> (t, idx, hit)."""
     backend = jax.default_backend()
     if scene.cbvh is not None and backend != "cpu":
-        from isaklm_raytracer_tpu.kernels.intersect import nearest_hit_cluster
-
-        return functools.partial(
-            nearest_hit_cluster, scene.cbvh, t_eps=config.t_epsilon
+        from isaklm_raytracer_tpu.kernels.intersect import (
+            VMEM_TABLE_LIMIT,
+            nearest_hit_cluster,
+            nearest_hit_cluster_hbm,
         )
+
+        kernel = (
+            nearest_hit_cluster
+            if scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT
+            else nearest_hit_cluster_hbm
+        )
+        return functools.partial(kernel, scene.cbvh, t_eps=config.t_epsilon)
     if scene.wkd is not None:
         from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront
 

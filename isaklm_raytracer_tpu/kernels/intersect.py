@@ -1,15 +1,25 @@
-"""Pallas TPU kernel: packet nearest-hit over the cluster BVH.
+"""Pallas TPU kernels: packet nearest-hit over the cluster BVH.
 
 The hot inner kernel of the framework (the TPU re-architecture of
 trace_ray.cuh:244-318). One grid program owns a PACKET of B rays; control
-flow is per-packet scalar (SMEM bbox slabs + `pl.when` skips), compute is
+flow is per-packet scalar (bbox slab culling + `pl.when` skips), compute is
 dense per-(ray, triangle) VPU work on (B, 128) tiles:
 
   for each supercluster (fori):            ~20 VPU ops on a (8, B/8) tile
       if any active ray hits its bbox:     scalar branch -- skipped work
-          for each of its 64 clusters:      is really skipped, unlike XLA
-              if any ray hits its bbox:
-                  intersect all B rays x 128 triangles   ~40 (B,128) FMAs
+          ... descend ...                   is really skipped, unlike XLA
+              intersect all B rays x 128 triangles   ~40 (B,128) FMAs
+
+Two variants share all the maths:
+
+  - `nearest_hit_cluster` (VMEM-resident): the whole (C, 16, 128) constant
+    table lives in VMEM. Two-level culling (supercluster -> cluster).
+    For scenes up to ~100K triangles.
+  - `nearest_hit_cluster_hbm` (HBM + DMA): the table stays in HBM; on an
+    oct (8-cluster) box hit its contiguous (8, 16, 128) block is DMA'd
+    into a VMEM scratch buffer. Three-level culling (supercluster -> oct
+    -> cluster, the last from VMEM scalars). Scales to the 2M-triangle
+    hero scene (README.md:12) whose table is ~128 MB.
 
 Design rules that make this fast on the VPU:
   - NO per-ray gathers or scatters anywhere: triangle constants stream in
@@ -39,63 +49,55 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isaklm_raytracer_tpu.accel.cluster import SUP_BRANCH, ClusterBVH
+from isaklm_raytracer_tpu.accel.cluster import (
+    OCT_BRANCH,
+    SUP_BRANCH,
+    ClusterBVH,
+)
 
 DEFAULT_PACKET = 256
+# VMEM budget for the resident-table kernel; beyond this the HBM+DMA
+# variant is used (make_trace_fn picks automatically).
+VMEM_TABLE_LIMIT = 6 * 1024 * 1024
 _INF = 3.4e38  # python scalars: jnp constants can't be captured by kernels
 _BIG_ID = 2**31 - 1
 
 
-def _packet_kernel(
-    sup_ref,  # SMEM (S, 8)
-    clu_ref,  # SMEM (C, 8)
-    tri_ref,  # VMEM (C, 16, 128)
-    rays_ref,  # VMEM (B, 8): ox oy oz dx dy dz active pad
-    rayt_ref,  # VMEM (1, 8, 8, B/8): transposed compact comps + 1/d + active
-    out_t_ref,  # VMEM (B, 8)
-    out_id_ref,  # VMEM (B, 8) int32
-    best_t_ref,  # VMEM scratch (B, 128): per-lane running min t
-    best_id_ref,  # VMEM scratch (B, 128) int32: per-lane winning tri id
-    *,
-    t_eps: float,
-):
-    num_sup = sup_ref.shape[0]
-    batch = rays_ref.shape[0]
+def _ray_columns(rays_ref):
+    """(B, 1) per-component columns, broadcast against (1, 128) tri rows."""
+    return (
+        rays_ref[:, 0:1], rays_ref[:, 1:2], rays_ref[:, 2:3],
+        rays_ref[:, 3:4], rays_ref[:, 4:5], rays_ref[:, 5:6],
+        rays_ref[:, 6:7] > 0.0,
+    )
 
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    dx = rays_ref[:, 3:4]
-    dy = rays_ref[:, 4:5]
-    dz = rays_ref[:, 5:6]
-    act = rays_ref[:, 6:7] > 0.0
 
-    # Compact (8, B/8) transposed copies for the slab tests.
-    oxt = rayt_ref[0, 0]
-    oyt = rayt_ref[0, 1]
-    ozt = rayt_ref[0, 2]
-    ixt = rayt_ref[0, 3]  # 1 / d, +-inf where d == 0
-    iyt = rayt_ref[0, 4]
-    izt = rayt_ref[0, 5]
-    actt = rayt_ref[0, 6] > 0.0
+def _compact_rays(rayt_ref):
+    """(8, B/8) compact transposed components for the slab tests."""
+    return (
+        rayt_ref[0, 0], rayt_ref[0, 1], rayt_ref[0, 2],
+        rayt_ref[0, 3], rayt_ref[0, 4], rayt_ref[0, 5],
+        rayt_ref[0, 6] > 0.0,
+    )
 
-    best_t_ref[:] = jnp.full((batch, 128), _INF, jnp.float32)
-    best_id_ref[:] = jnp.full((batch, 128), _BIG_ID, jnp.int32)
 
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+def _make_box_any(compact, t_eps):
+    """Packet-level conservative slab test against one box.
 
-    def box_any(bbox_ref, row, tmax):
-        """True iff any active ray's [t_eps, tmax] segment pierces the box.
+    box(row) must return 6 scalars (minx miny minz maxx maxy maxz).
+    Conservative under NaN (0 * inf when a ray origin lies on a slab):
+    the cull comparisons are false on NaN, so NaN lanes count as hits.
+    """
+    oxt, oyt, ozt, ixt, iyt, izt, actt = compact
 
-        Conservative under NaN (0 * inf when a ray origin lies on a slab):
-        the cull comparisons are false on NaN, so NaN lanes count as hits.
-        """
-        t1x = (bbox_ref[row, 0] - oxt) * ixt
-        t2x = (bbox_ref[row, 3] - oxt) * ixt
-        t1y = (bbox_ref[row, 1] - oyt) * iyt
-        t2y = (bbox_ref[row, 4] - oyt) * iyt
-        t1z = (bbox_ref[row, 2] - ozt) * izt
-        t2z = (bbox_ref[row, 5] - ozt) * izt
+    def box_any(box6, tmax):
+        bx0, by0, bz0, bx1, by1, bz1 = box6
+        t1x = (bx0 - oxt) * ixt
+        t2x = (bx1 - oxt) * ixt
+        t1y = (by0 - oyt) * iyt
+        t2y = (by1 - oyt) * iyt
+        t1z = (bz0 - ozt) * izt
+        t2z = (bz1 - ozt) * izt
         near = jnp.maximum(
             jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
             jnp.minimum(t1z, t2z),
@@ -107,9 +109,29 @@ def _packet_kernel(
         cull = (near > far) | (far < t_eps) | (near > tmax)
         return jnp.any((~cull) & actt)
 
-    def intersect(c):
-        """All B rays vs the 128 triangles of cluster c (trace_ray.cuh:73-113)."""
-        blk = tri_ref[c]  # (16, 128)
+    return box_any
+
+
+def _row6(ref, row):
+    return (ref[row, 0], ref[row, 1], ref[row, 2],
+            ref[row, 3], ref[row, 4], ref[row, 5])
+
+
+def _blk_box6(blk_ref, c):
+    """Cluster bbox scalars from row 15 of its own constant block."""
+    return (blk_ref[c, 15, 0], blk_ref[c, 15, 1], blk_ref[c, 15, 2],
+            blk_ref[c, 15, 3], blk_ref[c, 15, 4], blk_ref[c, 15, 5])
+
+
+def _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps):
+    """Dense B x 128 intersection + per-lane best update.
+
+    blk: (16, 128) constant block (see accel.cluster); c: cluster index.
+    Matches trace_ray.cuh:73-113 acceptance exactly.
+    """
+    ox, oy, oz, dx, dy, dz, act = cols
+
+    def intersect(blk, c):
         nx, ny, nz = blk[0:1], blk[1:2], blk[2:3]
         e1x, e1y, e1z = blk[3:4], blk[4:5], blk[5:6]
         e2x, e2y, e2z = blk[6:7], blk[7:8], blk[8:9]
@@ -140,30 +162,11 @@ def _packet_kernel(
         best_id_ref[:] = jnp.where(better, c * 128 + lane_id, best_id_ref[:])
         best_t_ref[:] = jnp.where(better, tval, best_t_ref[:])
 
-    def sup_body(s_i, carry):
-        # Farthest any active ray still needs to look: max over rays of the
-        # per-ray running-best t (misses keep it at +inf -> no pruning).
-        per_ray = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
-        tmax = jnp.max(jnp.where(act, per_ray, -_INF))
+    return intersect
 
-        @pl.when(box_any(sup_ref, s_i, tmax))
-        def _():
-            def clu_body(ci, carry2):
-                c = s_i * SUP_BRANCH + ci
 
-                @pl.when(box_any(clu_ref, c, tmax))
-                def _():
-                    intersect(c)
-
-                return carry2
-
-            jax.lax.fori_loop(0, SUP_BRANCH, clu_body, 0)
-
-        return carry
-
-    jax.lax.fori_loop(0, num_sup, sup_body, 0)
-
-    # One cross-lane argmin per packet: nearest t, ties to lowest id.
+def _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref):
+    """One cross-lane argmin per packet: nearest t, ties to lowest id."""
     tmin = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
     idmin = jnp.min(
         jnp.where(best_t_ref[:] <= tmin, best_id_ref[:], _BIG_ID),
@@ -174,23 +177,128 @@ def _packet_kernel(
     out_id_ref[:] = jnp.broadcast_to(idmin, (batch, 8))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("t_eps", "packet", "interpret")
-)
-def nearest_hit_cluster(
-    cbvh: ClusterBVH,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
-    t_eps: float = 1e-5,
-    active=None,
-    packet: int = DEFAULT_PACKET,
-    interpret: bool = False,
-):
-    """Batched nearest hit via the Pallas packet kernel.
+def _packet_tmax(best_t_ref, act):
+    """Farthest any active ray still needs to look: max over rays of the
+    per-ray running-best t (misses keep it at +inf -> no pruning)."""
+    per_ray = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
+    return jnp.max(jnp.where(act, per_ray, -_INF))
 
-    o, d: (R, 3) -> (t (R,), idx (R,) int32, hit (R,) bool), all detached.
-    Drop-in replacement for accel.wavefront.nearest_hit_wavefront.
-    """
+
+def _init_best(batch, best_t_ref, best_id_ref):
+    best_t_ref[:] = jnp.full((batch, 128), _INF, jnp.float32)
+    best_id_ref[:] = jnp.full((batch, 128), _BIG_ID, jnp.int32)
+
+
+def _vmem_kernel(
+    sup_ref,  # SMEM (S, 8)
+    tri_ref,  # VMEM (C, 16, 128)
+    rays_ref,  # VMEM (B, 8): ox oy oz dx dy dz active pad
+    rayt_ref,  # VMEM (1, 8, 8, B/8): transposed compact comps + 1/d + active
+    out_t_ref,  # VMEM (B, 8)
+    out_id_ref,  # VMEM (B, 8) int32
+    best_t_ref,  # VMEM scratch (B, 128): per-lane running min t
+    best_id_ref,  # VMEM scratch (B, 128) int32: per-lane winning tri id
+    *,
+    t_eps: float,
+):
+    num_sup = sup_ref.shape[0]
+    batch = rays_ref.shape[0]
+    cols = _ray_columns(rays_ref)
+    act = cols[6]
+    box_any = _make_box_any(_compact_rays(rayt_ref), t_eps)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    _init_best(batch, best_t_ref, best_id_ref)
+    intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
+
+    def sup_body(s_i, carry):
+        tmax = _packet_tmax(best_t_ref, act)
+
+        @pl.when(box_any(_row6(sup_ref, s_i), tmax))
+        def _():
+            def clu_body(ci, carry2):
+                c = s_i * SUP_BRANCH + ci
+
+                @pl.when(box_any(_blk_box6(tri_ref, c), tmax))
+                def _():
+                    intersect(tri_ref[c], c)
+
+                return carry2
+
+            jax.lax.fori_loop(0, SUP_BRANCH, clu_body, 0)
+
+        return carry
+
+    jax.lax.fori_loop(0, num_sup, sup_body, 0)
+    _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+
+
+def _hbm_kernel(
+    sup_ref,  # SMEM (S, 8)
+    oct_ref,  # VMEM (C/8, 8) -- scalar reads; SMEM scalars cost 64B each,
+    #           so a hero-scale oct table blows the 1MB SMEM budget
+    tri_ref,  # ANY/HBM (C, 16, 128)
+    rays_ref,  # VMEM (B, 8)
+    rayt_ref,  # VMEM (1, 8, 8, B/8)
+    out_t_ref,  # VMEM (B, 8)
+    out_id_ref,  # VMEM (B, 8) int32
+    best_t_ref,  # VMEM scratch (B, 128)
+    best_id_ref,  # VMEM scratch (B, 128) int32
+    buf_ref,  # VMEM scratch (OCT_BRANCH, 16, 128): DMA landing buffer
+    sem,  # DMA semaphore
+    *,
+    t_eps: float,
+):
+    num_sup = sup_ref.shape[0]
+    batch = rays_ref.shape[0]
+    cols = _ray_columns(rays_ref)
+    act = cols[6]
+    box_any = _make_box_any(_compact_rays(rayt_ref), t_eps)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    _init_best(batch, best_t_ref, best_id_ref)
+    intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
+
+    octs_per_sup = SUP_BRANCH // OCT_BRANCH
+
+    def sup_body(s_i, carry):
+        tmax = _packet_tmax(best_t_ref, act)
+
+        @pl.when(box_any(_row6(sup_ref, s_i), tmax))
+        def _():
+            def oct_body(oi, carry2):
+                o_idx = s_i * octs_per_sup + oi
+
+                @pl.when(box_any(_row6(oct_ref, o_idx), tmax))
+                def _():
+                    dma = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(o_idx * OCT_BRANCH, OCT_BRANCH)],
+                        buf_ref,
+                        sem,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                    def clu_body(k, carry3):
+                        c = o_idx * OCT_BRANCH + k
+
+                        @pl.when(box_any(_blk_box6(buf_ref, k), tmax))
+                        def _():
+                            intersect(buf_ref[k], c)
+
+                        return carry3
+
+                    jax.lax.fori_loop(0, OCT_BRANCH, clu_body, 0)
+
+                return carry2
+
+            jax.lax.fori_loop(0, octs_per_sup, oct_body, 0)
+
+        return carry
+
+    jax.lax.fori_loop(0, num_sup, sup_body, 0)
+    _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+
+
+def _prep_rays(o, d, active, packet):
     num_rays = o.shape[0]
     pad = (-num_rays) % packet
     total = num_rays + pad
@@ -219,43 +327,10 @@ def nearest_hit_cluster(
     num_packets = total // packet
     # (P, comp, sublane, lane): ray r of packet p sits at [p, :, r % 8, r // 8].
     rays_t = comps.reshape(8, num_packets, packet // 8, 8).transpose(1, 0, 3, 2)
+    return rays, rays_t, num_packets, num_rays
 
-    grid = (num_packets,)
-    in_specs = [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sup_bbox
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # clu_bbox
-            pl.BlockSpec(
-                cbvh.tri_const.shape, lambda p: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 8, 8, packet // 8),
-                lambda p: (p, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-    out_specs = [
-        pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
-    ]
 
-    out_t, out_id = pl.pallas_call(
-        functools.partial(_packet_kernel, t_eps=t_eps),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct((total, 8), jnp.float32),
-            jax.ShapeDtypeStruct((total, 8), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((packet, 128), jnp.float32),
-            pltpu.VMEM((packet, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(cbvh.sup_bbox, cbvh.clu_bbox, cbvh.tri_const, rays, rays_t)
-
+def _unpack(out_t, out_id, num_rays):
     t = out_t[:num_rays, 0]
     idx = out_id[:num_rays, 0]
     hit = t < _INF
@@ -266,3 +341,107 @@ def nearest_hit_cluster(
         jax.lax.stop_gradient(idx),
         jax.lax.stop_gradient(hit),
     )
+
+
+def _ray_specs(packet):
+    return [
+        pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 8, 8, packet // 8),
+            lambda p: (p, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+
+def _out_specs(packet):
+    return [
+        pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+def nearest_hit_cluster(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_eps: float = 1e-5,
+    active=None,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+):
+    """Batched nearest hit via the VMEM-resident Pallas packet kernel.
+
+    o, d: (R, 3) -> (t (R,), idx (R,) int32, hit (R,) bool), all detached.
+    Drop-in replacement for accel.wavefront.nearest_hit_wavefront.
+    """
+    rays, rays_t, num_packets, num_rays = _prep_rays(o, d, active, packet)
+
+    out_t, out_id = pl.pallas_call(
+        functools.partial(_vmem_kernel, t_eps=t_eps),
+        grid=(num_packets,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sup_bbox
+            pl.BlockSpec(
+                cbvh.tri_const.shape, lambda p: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_ray_specs(packet),
+        ],
+        out_specs=_out_specs(packet),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((packet, 128), jnp.float32),
+            pltpu.VMEM((packet, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cbvh.sup_bbox, cbvh.tri_const, rays, rays_t)
+
+    return _unpack(out_t, out_id, num_rays)
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+def nearest_hit_cluster_hbm(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_eps: float = 1e-5,
+    active=None,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+):
+    """Batched nearest hit via the HBM+DMA Pallas packet kernel (big scenes:
+    the triangle table stays in HBM; 64KB oct blocks are DMA'd on demand)."""
+    rays, rays_t, num_packets, num_rays = _prep_rays(o, d, active, packet)
+
+    out_t, out_id = pl.pallas_call(
+        functools.partial(_hbm_kernel, t_eps=t_eps),
+        grid=(num_packets,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sup_bbox
+            pl.BlockSpec(
+                cbvh.oct_bbox.shape, lambda p: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # oct_bbox
+            pl.BlockSpec(memory_space=pl.ANY),  # tri_const stays in HBM
+            *_ray_specs(packet),
+        ],
+        out_specs=_out_specs(packet),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((packet, 128), jnp.float32),
+            pltpu.VMEM((packet, 128), jnp.int32),
+            pltpu.VMEM((OCT_BRANCH, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cbvh.sup_bbox, cbvh.oct_bbox, cbvh.tri_const, rays, rays_t)
+
+    return _unpack(out_t, out_id, num_rays)

@@ -184,12 +184,17 @@ def test_create_scene_from_files(tmp_path, mat_path):
     )
     assert scene.num_triangles == 3
     assert scene.has_lights
-    # lamp triangle (index 2) is the only light
-    np.testing.assert_array_equal(np.asarray(scene.light_indices), [2])
     assert scene.kd is not None
+    # prepare_scene Morton-renumbers triangles, so identify them by
+    # material: the lamp triangle is the emissive one.
+    em = np.asarray(scene.materials.emittance)[np.asarray(scene.mat_id)]
+    lamp = int(np.nonzero((em > 0).any(axis=-1))[0][0])
+    quad = [i for i in range(3) if i != lamp]
+    # the lamp triangle is the only light
+    np.testing.assert_array_equal(np.asarray(scene.light_indices), [lamp])
     # materials resolved by name
     mats = scene.materials
     mid = np.asarray(scene.mat_id)
     alb = np.asarray(mats.albedo)
-    np.testing.assert_allclose(alb[mid[0]], [1.0, 0.2, 0.1], atol=1e-6)
-    np.testing.assert_allclose(np.asarray(mats.emittance)[mid[2]], [10, 9, 6.5], atol=1e-6)
+    np.testing.assert_allclose(alb[mid[quad[0]]], [1.0, 0.2, 0.1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mats.emittance)[mid[lamp]], [10, 9, 6.5], atol=1e-6)
