@@ -58,6 +58,14 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
 
     verts = verts[order]
     cbvh = build_cluster_bvh(verts)
+
+    num = verts.shape[0]
+    table = np.zeros((num, 32), np.float32)
+    table[:, 0:9] = verts.reshape(num, 9)
+    table[:, 9:18] = np.asarray(scene.normals).reshape(num, 9)
+    table[:, 18:24] = np.asarray(scene.uvs).reshape(num, 6)
+    table[:, 24] = np.asarray(scene.mat_id)
+    scene = scene.replace(shade_table=jnp.asarray(table))
     if build_kd is None:
         build_kd = verts.shape[0] <= KD_BUILD_LIMIT
     if build_kd:

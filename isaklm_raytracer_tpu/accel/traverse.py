@@ -154,8 +154,22 @@ def hit_attributes(
     material sample. Non-hit lanes get safe dummy values (index 0, t = 1).
     """
     safe_idx = jnp.maximum(idx, 0)
-    tri = scene.vertices[safe_idx]  # (R, 3, 3)
-    p1, p2, p3 = tri[:, 0], tri[:, 1], tri[:, 2]
+    if scene.shade_table is not None:
+        # One contiguous row gather for all per-triangle data (TPU gathers
+        # are per-row latency-bound; five strided gathers cost ~5x this).
+        row = scene.shade_table[safe_idx]  # (R, 32)
+        p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        nrm1, nrm2, nrm3 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+        uv1, uv2, uv3 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+        mat = row[:, 24].astype(jnp.int32)
+    else:
+        tri = scene.vertices[safe_idx]  # (R, 3, 3)
+        p1, p2, p3 = tri[:, 0], tri[:, 1], tri[:, 2]
+        nrm = scene.normals[safe_idx]  # (R, 3, 3)
+        nrm1, nrm2, nrm3 = nrm[:, 0], nrm[:, 1], nrm[:, 2]
+        uvs = scene.uvs[safe_idx]  # (R, 3, 2)
+        uv1, uv2, uv3 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
+        mat = scene.mat_id[safe_idx]
 
     geo_n = transforms.normalize(jnp.cross(p2 - p1, p3 - p1))
     ddn = jnp.sum(d * geo_n, axis=-1)
@@ -170,9 +184,8 @@ def hit_attributes(
         bary[:, 0:1] * p1 + bary[:, 1:2] * p2 + bary[:, 2:3] * p3
     )  # trace_ray.cuh:158
 
-    nrm = scene.normals[safe_idx]  # (R, 3, 3)
     normal = transforms.normalize(
-        bary[:, 0:1] * nrm[:, 0] + bary[:, 1:2] * nrm[:, 1] + bary[:, 2:3] * nrm[:, 2]
+        bary[:, 0:1] * nrm1 + bary[:, 1:2] * nrm2 + bary[:, 2:3] * nrm3
     )
     # Frame from the UNflipped normal, then back-face flip of the normal only
     # (trace_ray.cuh:160-168).
@@ -182,24 +195,36 @@ def hit_attributes(
         (jnp.sum(d * normal, axis=-1) > 0.0)[:, None], -normal, normal
     )
 
-    uvs = scene.uvs[safe_idx]  # (R, 3, 2)
-    uv = (
-        bary[:, 0:1] * uvs[:, 0] + bary[:, 1:2] * uvs[:, 1] + bary[:, 2:3] * uvs[:, 2]
-    )
+    uv = bary[:, 0:1] * uv1 + bary[:, 1:2] * uv2 + bary[:, 2:3] * uv3
 
-    mat = scene.mat_id[safe_idx]
+    # Pack the scalar material fields into one row so the per-material
+    # fetch is a single gather; built from the LIVE MaterialTable inside
+    # the trace, so gradients to albedo/emittance/roughness/ior still flow
+    # (the pack is just a concat in the autodiff graph).
     m = scene.materials
+    mat_pack = jnp.concatenate(
+        [
+            m.albedo,
+            m.emittance,
+            m.roughness[:, None],
+            m.ior[:, None],
+            m.extinction[:, None],
+            m.transparent[:, None],
+        ],
+        axis=1,
+    )  # (M, 10)
+    mrow = mat_pack[mat]  # (R, 10)
     tex_id = m.tex_id[mat]
-    albedo = sample_texture(scene.textures, tex_id, m.albedo[mat], uv)
-    emittance = sample_texture(scene.textures, tex_id, m.emittance[mat], uv)
+    albedo = sample_texture(scene.textures, tex_id, mrow[:, 0:3], uv)
+    emittance = sample_texture(scene.textures, tex_id, mrow[:, 3:6], uv)
 
     return HitAttributes(
         albedo=albedo,
         emittance=emittance,
-        roughness=m.roughness[mat],
-        ior=m.ior[mat],
-        extinction=m.extinction[mat],
-        transparent=m.transparent[mat],
+        roughness=mrow[:, 6],
+        ior=mrow[:, 7],
+        extinction=mrow[:, 8],
+        transparent=mrow[:, 9],
         triangle_index=idx,
         position=position,
         normal=normal,

@@ -18,12 +18,14 @@ Estimator bookkeeping preserved exactly:
   - RR survival probability = max throughput channel, reweight 1/p
     (path_tracing.cuh:309-318).
 
-Randomness: each ray carries its own threefry key derived from the GLOBAL
-pixel index (see integrator.render.ray_keys), folded per bounce -- so the
+Randomness: each ray carries a uint32 root seed derived from the GLOBAL
+pixel index (see integrator.render.ray_keys); per-bounce variates come
+from the counter-based sampler math.rng (stream = bounce) -- so the
 sample sequence of a pixel is a pure function of (seed, sample index,
 pixel id), independent of how rays are sharded across devices or reordered
 by compaction. This is the TPU-native replacement for the reference's
-per-pixel mutable PCG state (path_tracing.cuh:34-43, screen.cuh:34-45).
+per-pixel mutable hash state (path_tracing.cuh:34-43, screen.cuh:34-45);
+jax.random threefry was measured ~15x more expensive here.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ from isaklm_raytracer_tpu.accel.traverse import hit_attributes
 from isaklm_raytracer_tpu.config import RenderConfig
 from isaklm_raytracer_tpu.integrator.bsdf import scatter
 from isaklm_raytracer_tpu.integrator.nee import sample_direct_light
+from isaklm_raytracer_tpu.math import rng
 from isaklm_raytracer_tpu.scene.types import Scene
 
 
@@ -43,21 +46,22 @@ def trace_paths(
     trace_fn,
     origins: jnp.ndarray,
     directions: jnp.ndarray,
-    ray_keys: jnp.ndarray,
+    key_data: jnp.ndarray,
+    ray_ids: jnp.ndarray,
     config: RenderConfig,
 ) -> jnp.ndarray:
     """Trace one full path per ray; returns outgoing radiance (R, 3).
 
     trace_fn(o, d) -> (t, idx, hit): pluggable nearest-hit intersector.
-    ray_keys: (R,) PRNG keys, one per ray (integrator.render.ray_keys).
+    key_data: (2,) uint32 per-sample key (integrator.render.sample_key_data);
+    ray_ids: (R,) global pixel ids (the RNG counter words).
     """
     num_rays = origins.shape[0]
 
     def bounce_step(state, bounce):
         (ray_o, ray_d, throughput, radiance, inside, prev_diffuse, active) = state
 
-        bkeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(ray_keys, bounce)
-        u = jax.vmap(lambda k: jax.random.uniform(k, (9,), jnp.float32))(bkeys).T
+        u = rng.uniforms(key_data, ray_ids, bounce, 9)  # (9, R)
 
         t, idx, hit = trace_fn(ray_o, ray_d, active=active)
         attrs = hit_attributes(scene, ray_o, ray_d, idx, hit)

@@ -21,6 +21,7 @@ from isaklm_raytracer_tpu.camera.camera import Camera, generate_rays
 from isaklm_raytracer_tpu.config import RenderConfig
 from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
 from isaklm_raytracer_tpu.integrator.path_trace import trace_paths
+from isaklm_raytracer_tpu.math import rng
 from isaklm_raytracer_tpu.math.color import correct_color, luminance
 from isaklm_raytracer_tpu.scene.types import GBuffer, Scene
 
@@ -68,13 +69,15 @@ def pixel_coords(config: RenderConfig):
     return idx % config.width, idx // config.width
 
 
-def ray_keys(key: jnp.ndarray, pixel_ids: jnp.ndarray) -> jnp.ndarray:
-    """Per-ray PRNG keys from GLOBAL pixel ids: fold_in(key, pixel_id).
+def sample_key_data(key: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample (2,) uint32 Threefry key words for the counter sampler.
 
-    Makes every pixel's sample sequence a pure function of (seed, sample
-    index, pixel id) -- identical regardless of device sharding or ray
-    reordering (SURVEY.md section 2.3: deterministic under sharding)."""
-    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, pixel_ids)
+    Every variate downstream is a pure function of (these words, GLOBAL
+    pixel id, stream, dim) -- identical regardless of device sharding or
+    ray reordering (SURVEY.md section 2.3: deterministic under sharding).
+    This replaces per-ray fold_in key plumbing, which costs a full hash
+    per ray before a single variate is drawn."""
+    return jax.random.key_data(key).astype(jnp.uint32).reshape(-1)[:2]
 
 
 def render_sample(
@@ -99,19 +102,16 @@ def render_sample(
         pixel_ids = jnp.arange(config.num_pixels, dtype=jnp.int32)
     num_rays = pixel_ids.shape[0]
 
+    kd = sample_key_data(key)
+
     def run_chunk(ids):
         px = ids % config.width
         py = ids // config.width
-        keys = ray_keys(key, ids)
-        cam_u = jax.vmap(
-            lambda k: jax.random.uniform(
-                jax.random.fold_in(k, 0x7FFFFFFF), (4,), jnp.float32
-            )
-        )(keys)
+        cam_u = rng.uniforms(kd, ids, rng.CAMERA_STREAM, 4).T  # (R, 4)
         origins, directions = generate_rays(
             camera, config.width, config.height, px, py, cam_u
         )
-        return trace_paths(scene, trace_fn, origins, directions, keys, config)
+        return trace_paths(scene, trace_fn, origins, directions, kd, ids, config)
 
     chunk = config.ray_chunk
     if chunk and num_rays > chunk:

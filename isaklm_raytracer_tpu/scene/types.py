@@ -139,6 +139,13 @@ class Scene:
     # only valid when the scene's triangles are Morton-renumbered
     # (accel.prepare_scene does both together).
     cbvh: Optional[object] = None
+    # Packed per-triangle shading row (T, 32) f32:
+    # [p1 p2 p3 | n1 n2 n3 | uv1 uv2 uv3 | mat_id | pad...] -- lets
+    # hit_attributes fetch everything with ONE row gather instead of five
+    # strided ones (TPU gathers are per-row latency-bound). Geometry is a
+    # scene constant, so baking it loses no gradients; material parameters
+    # stay in `materials` (the differentiable path).
+    shade_table: Optional[jnp.ndarray] = None
     has_lights: bool = struct.field(pytree_node=False, default=True)
 
     @property
