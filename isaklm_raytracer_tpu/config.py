@@ -55,6 +55,11 @@ class RenderConfig:
             raise ValueError("resolution must be positive")
         if self.max_bounces <= 0:
             raise ValueError("max_bounces must be positive")
+        # Bounce streams live below the camera stream in the counter-mode
+        # sampler (math/rng.py); overlapping them would silently correlate
+        # camera jitter with deep-bounce variates.
+        if self.max_bounces >= 255:
+            raise ValueError("max_bounces must be < 255 (CAMERA_STREAM)")
 
     @property
     def num_pixels(self) -> int:

@@ -104,18 +104,16 @@ def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
     return run, num_sample
 
 
-def sharded_train_step_fn(
-    scene: Scene,
-    config: RenderConfig,
-    mesh: Mesh,
-    learning_rate: float = 0.05,
-):
-    """Returns jitted train_step(params, camera, target, key) ->
-    (params, loss) doing one SGD step of inverse rendering: params is the
-    differentiable MaterialTable (+ camera pose could be added by the
-    caller); the loss is the mean squared error between the rendered
-    radiance and the target image, pixels sharded over "tile", gradients
-    psum'd over the full mesh.
+def sharded_value_and_grad_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
+    """Returns jitted vg(params, camera, target, key) -> (loss, grads).
+
+    The loss is the mean squared error between the rendered radiance and the
+    target image, averaged over the mesh's sample streams (stream s uses
+    fold_in(key, s)); pixels are sharded over "tile", gradients of the
+    replicated MaterialTable float fields psum'd over the full mesh. Under
+    the global-pixel-keyed RNG this is bit-for-bit the same objective on any
+    mesh shape, so grads match a single-device jax.grad of the same loss
+    (tests/test_sharding.py pins this).
     """
     num_tile = mesh.shape["tile"]
     per_tile = _pad_pixels(config, num_tile)
@@ -151,9 +149,15 @@ def sharded_train_step_fn(
         loss, grads = jax.value_and_grad(local_loss)(floats, camera)
         # Cross-device reduction: tile-partial losses sum; gradients of the
         # replicated params all-reduce over both axes. XLA schedules these
-        # collectives to overlap with the backward wavefront.
-        loss = jax.lax.psum(loss, ("tile", "sample")) / mesh.shape["sample"]
-        grads = jax.lax.psum(grads, ("tile", "sample"))
+        # collectives to overlap with the backward wavefront. Both loss and
+        # grads divide by the sample-axis size so the optimized objective is
+        # the MEAN over sample streams -- summing grads but averaging the
+        # loss (round 1) silently scaled the step by num_sample.
+        num_sample = mesh.shape["sample"]
+        loss = jax.lax.psum(loss, ("tile", "sample")) / num_sample
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("tile", "sample")) / num_sample, grads
+        )
         return loss, grads
 
     shard = jax.shard_map(
@@ -177,18 +181,32 @@ def sharded_train_step_fn(
     )
 
     @jax.jit
-    def train_step(params, camera, target, key):
+    def value_and_grad(params, camera, target, key):
         # target: (H*W, 3) -> padded tile shards
         pad = total - config.num_pixels
         t = jnp.pad(target, ((0, pad), (0, 0))).reshape(num_tile, per_tile, 3)
         loss, grads = shard(pixel_ids, valid, params, camera, t, key)
+        return loss, dict(zip(float_fields, grads))
+
+    return value_and_grad
+
+
+def sharded_train_step_fn(
+    scene: Scene,
+    config: RenderConfig,
+    mesh: Mesh,
+    learning_rate: float = 0.05,
+):
+    """Returns jitted train_step(params, camera, target, key) ->
+    (params, loss): one SGD step of inverse rendering on top of
+    `sharded_value_and_grad_fn`."""
+    vg = sharded_value_and_grad_fn(scene, config, mesh)
+
+    @jax.jit
+    def train_step(params, camera, target, key):
+        loss, grads = vg(params, camera, target, key)
         updates = {
-            f: getattr(params, f) - learning_rate * g
-            for f, g in zip(
-                ("albedo", "emittance", "roughness", "ior", "extinction",
-                 "transparent"),
-                grads,
-            )
+            f: getattr(params, f) - learning_rate * g for f, g in grads.items()
         }
         return params.replace(**updates), loss
 

@@ -32,7 +32,9 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     (pure XLA -- CPU fallback / multi-chip dryrun), vmapped scalar KD walk,
     brute-force oracle. All share trace(o, d, active=None) -> (t, idx, hit)."""
     backend = jax.default_backend()
-    if scene.cbvh is not None and backend != "cpu":
+    # Mosaic (pltpu) kernels lower only on TPU; any other accelerator falls
+    # through to the pure-XLA wavefront path that works everywhere.
+    if scene.cbvh is not None and backend == "tpu":
         from isaklm_raytracer_tpu.kernels.intersect import (
             VMEM_TABLE_LIMIT,
             nearest_hit_cluster,

@@ -299,6 +299,14 @@ def _hbm_kernel(
 
 
 def _prep_rays(o, d, active, packet):
+    # Detach the kernel INPUTS: pallas_call has no JVP/VJP rule, so any
+    # tangent reaching it (e.g. ray origins carried through the bounce-scan
+    # linearization of jax.grad) would crash in _pallas_call_jvp_rule.
+    # Hit topology is semantically non-differentiable anyway (the outputs
+    # are detached in _unpack); gradients flow through hit_attributes'
+    # re-derivation of the hit point instead (accel/traverse.py).
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     num_rays = o.shape[0]
     pad = (-num_rays) % packet
     total = num_rays + pad
@@ -306,7 +314,7 @@ def _prep_rays(o, d, active, packet):
     if active is None:
         act = jnp.ones((num_rays,), jnp.float32)
     else:
-        act = active.astype(jnp.float32)
+        act = jax.lax.stop_gradient(active).astype(jnp.float32)
 
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)))

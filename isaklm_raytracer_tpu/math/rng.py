@@ -82,6 +82,15 @@ def uniforms(
     are independent of sharding, chunking and ray order.
     stream: python int or traced int32 (bounce index / CAMERA_STREAM).
     """
+    if n > 2 * _DIMS_PER_STREAM:
+        raise ValueError(
+            f"uniforms(n={n}) exceeds the stream's {2 * _DIMS_PER_STREAM} "
+            "variates; counter words would collide with the next stream"
+        )
+    if isinstance(stream, int) and not (
+        0 <= stream <= CAMERA_STREAM
+    ):
+        raise ValueError(f"stream {stream} outside [0, {CAMERA_STREAM}]")
     k0 = key_data[0].astype(jnp.uint32)
     k1 = key_data[1].astype(jnp.uint32)
     w0 = pixel_ids.astype(jnp.uint32)

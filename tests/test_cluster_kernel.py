@@ -169,6 +169,61 @@ class TestKernelVsOracle:
         )
 
 
+class TestGradThroughKernel:
+    """Regression: jax.grad through a render using the Pallas intersector
+    must not crash (pallas_call has no autodiff rule; inputs are detached in
+    _prep_rays). Round-1 shipped with this broken -- BENCH_r01.json rc=1."""
+
+    def _setup(self):
+        import functools
+
+        from isaklm_raytracer_tpu.accel import prepare_scene
+        from isaklm_raytracer_tpu.camera import Camera
+        from isaklm_raytracer_tpu.config import RenderConfig
+        from isaklm_raytracer_tpu.scene import procedural
+
+        config = RenderConfig(width=8, height=8, max_bounces=3, ray_chunk=0)
+        scene = prepare_scene(procedural.cornell_box())
+        trace_fn = functools.partial(
+            nearest_hit_cluster,
+            scene.cbvh,
+            t_eps=config.t_epsilon,
+            interpret=True,
+        )
+        camera = Camera.create(position=(0.0, 0.0, -0.9), fov=3.14159 / 2)
+        return scene, camera, config, trace_fn
+
+    def test_grad_albedo(self):
+        from isaklm_raytracer_tpu.integrator.render import render_sample
+
+        scene, camera, config, trace_fn = self._setup()
+        key = jax.random.PRNGKey(0)
+
+        def loss(albedo):
+            s = scene.replace(materials=scene.materials.replace(albedo=albedo))
+            return jnp.mean(render_sample(s, camera, key, config, trace_fn=trace_fn))
+
+        g = jax.grad(loss)(scene.materials.albedo)
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 0
+
+    def test_grad_camera_position(self):
+        """Camera-pose tangents flow through ray ORIGINS straight into the
+        kernel inputs -- the exact path that crashed round 1."""
+        from isaklm_raytracer_tpu.integrator.render import render_sample
+
+        scene, camera, config, trace_fn = self._setup()
+        key = jax.random.PRNGKey(1)
+
+        def loss(pos):
+            cam = camera.replace(position=pos)
+            return jnp.mean(render_sample(scene, cam, key, config, trace_fn=trace_fn))
+
+        g = np.asarray(jax.grad(loss)(camera.position))
+        assert np.isfinite(g).all()
+
+
 class TestPreparedSceneConsistency:
     def test_renumbering_keeps_render_semantics(self):
         """prepare_scene permutes triangles; lights/materials/uvs must stay
