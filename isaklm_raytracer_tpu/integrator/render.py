@@ -168,6 +168,25 @@ def resolve_image(gbuffer: GBuffer, config: RenderConfig) -> jnp.ndarray:
     return img.reshape(config.height, config.width, 3)
 
 
+@functools.lru_cache(maxsize=8)
+def make_step_fn(config: RenderConfig):
+    """Jitted progressive step (scene, camera, gbuffer, key) -> gbuffer.
+
+    Scene and camera are jit ARGUMENTS, not closure constants: closed-over
+    arrays get baked into the compile payload (at hero scale ~400MB of
+    geometry overflows the compile service), and a fresh closure would
+    recompile on every render() call -- the round-1 CLI recompiled ~25s per
+    checkpoint batch because of exactly that. lru_cache keyed on the
+    (hashable) config keeps one compiled program per configuration.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("adaptive_",), donate_argnums=(2,))
+    def step(scene, camera, gb, k, adaptive_):
+        return render_step(scene, camera, gb, k, config, adaptive_)
+
+    return step
+
+
 def render(
     scene: Scene,
     camera: Camera,
@@ -186,13 +205,12 @@ def render(
     """
     if gbuffer is None:
         gbuffer = GBuffer.create(config.num_pixels)
-    trace_fn = make_trace_fn(scene, config)
-
-    @functools.partial(jax.jit, static_argnames=("adaptive_",), donate_argnums=(0,))
-    def step(gb, k, adaptive_):
-        return render_step(scene, camera, gb, k, config, adaptive_, trace_fn)
+    step = make_step_fn(config)
 
     base = jax.random.PRNGKey(seed)
     for i in range(num_samples):
-        gbuffer = step(gbuffer, jax.random.fold_in(base, sample_offset + i), adaptive)
+        gbuffer = step(
+            scene, camera, gbuffer, jax.random.fold_in(base, sample_offset + i),
+            adaptive,
+        )
     return gbuffer
