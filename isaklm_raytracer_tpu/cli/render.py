@@ -112,6 +112,17 @@ def load_scene(args):
 def main(argv=None) -> int:
     args = parse_args(argv)
 
+    # Honor JAX_PLATFORMS even when a hosting sitecustomize has already
+    # imported jax and overridden jax_platforms via config (config beats the
+    # env var, so e.g. a test's JAX_PLATFORMS=cpu would silently run on the
+    # accelerator). A config update is still valid until backends initialize.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.multihost:
         import jax
 
