@@ -53,6 +53,13 @@ class ClusterBVH:
     oct_bbox: jnp.ndarray  # (C/8, 8) f32 -- merged boxes of 8-cluster octs
     clu_bbox: jnp.ndarray  # (C, 8) f32
     tri_const: jnp.ndarray  # (C, 16, 128) f32 (see module docstring)
+    # Component-major (transposed) box tables for the kernels' DENSE cull
+    # phase: rows 0-5 = min xyz / max xyz with boxes along the lane axis
+    # (padded to a 128 multiple), row 6 = validity flag (0.0 kills padding
+    # lanes -- an inverted sentinel box does NOT fail the slab test once
+    # +-3e38 arithmetic saturates to inf).
+    oct_bbox_t: jnp.ndarray = None  # (8, ceil(C/8 -> 128-pad)) f32
+    clu_bbox_t: jnp.ndarray = None  # (8, 128-pad of C) f32
     num_triangles: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -163,10 +170,22 @@ def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
     oct_bbox[:, 0:3] = og[:, :, 0:3].min(axis=1)
     oct_bbox[:, 3:6] = og[:, :, 3:6].max(axis=1)
 
+    def bbox_t(bbox: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        n = bbox.shape[0]
+        n_pad = -(-n // 128) * 128
+        out = np.zeros((8, n_pad), np.float32)
+        out[0:6, :n] = bbox[:, 0:6].T
+        out[6, :n] = valid.astype(np.float32)
+        return out
+
+    oct_valid = has_any.reshape(num_oct, OCT_BRANCH).any(axis=1)
+
     return ClusterBVH(
         sup_bbox=jnp.asarray(sup_bbox),
         oct_bbox=jnp.asarray(oct_bbox),
         clu_bbox=jnp.asarray(clu_bbox),
         tri_const=jnp.asarray(tri_const),
+        oct_bbox_t=jnp.asarray(bbox_t(oct_bbox, oct_valid)),
+        clu_bbox_t=jnp.asarray(bbox_t(clu_bbox, has_any)),
         num_triangles=num_tris,
     )

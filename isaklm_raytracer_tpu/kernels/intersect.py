@@ -1,41 +1,53 @@
 """Pallas TPU kernels: packet nearest-hit over the cluster BVH.
 
 The hot inner kernel of the framework (the TPU re-architecture of
-trace_ray.cuh:244-318). One grid program owns a PACKET of B rays; control
-flow is per-packet scalar (bbox slab culling + `pl.when` skips), compute is
-dense per-(ray, triangle) VPU work on (B, 128) tiles:
+trace_ray.cuh:244-318). One grid program owns a PACKET of B rays and runs
+a DENSE-CULL + PRIORITY-QUEUE traversal:
 
-  for each supercluster (fori):            ~20 VPU ops on a (8, B/8) tile
-      if any active ray hits its bbox:     scalar branch -- skipped work
-          ... descend ...                   is really skipped, unlike XLA
-              intersect all B rays x 128 triangles   ~40 (B,128) FMAs
+  1. Dense cull (pure VPU, no loops): slab-test every ray against EVERY
+     box in one (B, N) elementwise pass, reduced to a per-box visitation
+     key = min over active rays of the box entry distance (+inf = no ray
+     pierces it). Replaces a scalar fori over boxes -- the scalar-loop
+     overhead, not the FLOPs, dominated the old kernel at hero scale.
+  2. Priority-queue loop (`lax.while_loop`): repeatedly extract the
+     nearest unvisited box from the key vector and intersect its
+     triangles. Because visitation is globally front-to-back, the loop
+     EXITS the moment the next box's entry distance exceeds the packet's
+     running-worst hit (the exact analog of the reference KD walk's
+     early-return, trace_ray.cuh:308-314) -- no ordering heuristics, no
+     wasted visits behind the first hit front.
 
 Two variants share all the maths:
 
   - `nearest_hit_cluster` (VMEM-resident): the whole (C, 16, 128) constant
-    table lives in VMEM. Two-level culling (supercluster -> cluster).
-    For scenes up to ~100K triangles.
-  - `nearest_hit_cluster_hbm` (HBM + DMA): the table stays in HBM; on an
-    oct (8-cluster) box hit its contiguous (8, 16, 128) block is DMA'd
-    into a VMEM scratch buffer. Three-level culling (supercluster -> oct
-    -> cluster, the last from VMEM scalars). Scales to the 2M-triangle
-    hero scene (README.md:12) whose table is ~128 MB.
+    table lives in VMEM; the queue is over CLUSTERS. For scenes up to
+    ~100K triangles.
+  - `nearest_hit_cluster_hbm` (HBM + DMA): the table stays in HBM; the
+    queue is over OCTS (8-cluster, 64KB blocks) whose constants are DMA'd
+    into a DOUBLE-BUFFERED VMEM scratch -- the next candidate's block is
+    prefetched while the current one is intersected, so HBM latency hides
+    behind VPU work. Per-cluster slab culling from the landed block's
+    embedded bbox row. Scales to the 2M-triangle hero scene
+    (README.md:12) whose table is ~128 MB.
 
 Design rules that make this fast on the VPU:
   - NO per-ray gathers or scatters anywhere: triangle constants stream in
     as (1, 128) rows broadcast over ray sublanes, ray components as (B, 1)
     columns broadcast over triangle lanes;
-  - NO per-visit reductions or loop carries: the running nearest hit lives
-    in two (B, 128) VMEM scratch refs holding PER-LANE minima (lane = tri
-    slot), updated with an elementwise min per visit; the cross-lane argmin
-    happens once per packet after the loop;
+  - NO per-visit cross-lane reductions beyond the queue's extract-min (a
+    (1, N) min) and the packet tmax ((B, 128) min/max): the running
+    nearest hit lives in two (B, 128) VMEM scratch refs holding PER-LANE
+    minima (lane = tri slot), updated with an elementwise min per visit;
+    the cross-lane argmin happens once per packet after the loop;
   - triangle ids are c*128 + lane -- the scene is Morton-renumbered at
     build time (accel.cluster.morton_order), so no id table exists at all.
 
 Correctness does not depend on traversal order: the cluster build is a
 partition (no straddler duplicates, unlike create_kd_tree.cuh:176-218), so
 the nearest hit is the plain min over every cluster whose box a ray
-pierces. Intersection maths and acceptance rules match the reference
+pierces; the early exit only skips boxes whose entry distance exceeds
+EVERY active ray's current best (min-over-rays entry > max-over-rays
+best). Intersection maths and acceptance rules match the reference
 (trace_ray.cuh:73-113): plane hit, Cramer barycentric inside test,
 t >= eps, ties to the lowest triangle id (lane/cluster order = id order).
 """
@@ -49,11 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isaklm_raytracer_tpu.accel.cluster import (
-    OCT_BRANCH,
-    SUP_BRANCH,
-    ClusterBVH,
-)
+from isaklm_raytracer_tpu.accel.cluster import OCT_BRANCH, ClusterBVH
 
 DEFAULT_PACKET = 256
 # VMEM budget for the resident-table kernel; beyond this the HBM+DMA
@@ -112,15 +120,69 @@ def _make_box_any(compact, t_eps):
     return box_any
 
 
-def _row6(ref, row):
-    return (ref[row, 0], ref[row, 1], ref[row, 2],
-            ref[row, 3], ref[row, 4], ref[row, 5])
+_CUT = 1e38  # visitation keys >= this mean "no ray pierces the box"
 
 
-def _blk_box6(blk_ref, c):
-    """Cluster bbox scalars from row 15 of its own constant block."""
-    return (blk_ref[c, 15, 0], blk_ref[c, 15, 1], blk_ref[c, 15, 2],
-            blk_ref[c, 15, 3], blk_ref[c, 15, 4], blk_ref[c, 15, 5])
+def _dense_near(box_t_ref, rays_ref, t_eps):
+    """Dense slab test: every ray x every box in one VPU pass.
+
+    box_t_ref: (8, N) component-major boxes (rows minxyz, maxxyz, valid).
+    Returns:
+      keys (1, N): per-box visitation key = min over active rays of the
+        clamped box entry distance, +inf where no active ray pierces it;
+      far_bound (B, 1): per-ray max box-EXIT distance over the boxes the
+        ray pierces (-inf if none). No hit can lie beyond it, so it caps
+        the packet tmax for rays that miss everything -- without it one
+        escaping ray (best_t = +inf) would disable the early exit for the
+        whole packet.
+    Conservative under NaN (origin on a zero-direction slab): the miss
+    comparisons are false on NaN, and NaN keys collapse to 0 (visit
+    first).
+    """
+    ox, oy, oz, dx, dy, dz, act = _ray_columns(rays_ref)
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    bx0, by0, bz0 = box_t_ref[0:1, :], box_t_ref[1:2, :], box_t_ref[2:3, :]
+    bx1, by1, bz1 = box_t_ref[3:4, :], box_t_ref[4:5, :], box_t_ref[5:6, :]
+    valid = box_t_ref[6:7, :] > 0.0
+
+    t1x, t2x = (bx0 - ox) * ix, (bx1 - ox) * ix  # (B, N)
+    t1y, t2y = (by0 - oy) * iy, (by1 - oy) * iy
+    t1z, t2z = (bz0 - oz) * iz, (bz1 - oz) * iz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    miss = (near > far) | (far < t_eps)  # false on NaN -> conservative hit
+    key = jnp.where(miss | (~act), _INF, jnp.maximum(near, 0.0))
+    key = jnp.where(key != key, 0.0, key)  # NaN -> visit first
+    key = jnp.where(valid, key, _INF)
+
+    pierce = (~miss) & valid  # (B, N); NaN-conservative (pierce on NaN)
+    far_cap = jnp.where(pierce, far, -_INF)
+    far_cap = jnp.where(far_cap != far_cap, _INF, far_cap)  # NaN -> no cap
+    far_bound = jnp.max(far_cap, axis=1, keepdims=True)  # (B, 1)
+    return jnp.min(key, axis=0, keepdims=True), far_bound
+
+
+def _make_extract(near_ref):
+    """Extract-min over the (1, N) visitation keys; marks the winner
+    visited. Ties go to the lowest index; an all-+inf vector returns
+    (+inf, <unvisited-but-irrelevant index>)."""
+    n = near_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def extract():
+        nv = near_ref[0:1, :]
+        m = jnp.min(nv)
+        idx = jnp.min(jnp.where(nv <= m, iota, _BIG_ID))
+        near_ref[0:1, :] = jnp.where(iota == idx, _INF, nv)
+        return m, idx
+
+    return extract
 
 
 def _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps):
@@ -177,11 +239,13 @@ def _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref):
     out_id_ref[:] = jnp.broadcast_to(idmin, (batch, 8))
 
 
-def _packet_tmax(best_t_ref, act):
-    """Farthest any active ray still needs to look: max over rays of the
-    per-ray running-best t (misses keep it at +inf -> no pruning)."""
+def _packet_tmax(best_t_ref, act, cap):
+    """Farthest any active ray still needs to look: max over rays of
+    min(per-ray running-best t, per-ray far bound). `cap` (B, 1) is the
+    dense phase's max box-exit distance per ray -- it keeps rays that miss
+    everything (best stays +inf) from disabling the early exit."""
     per_ray = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
-    return jnp.max(jnp.where(act, per_ray, -_INF))
+    return jnp.max(jnp.where(act, jnp.minimum(per_ray, cap), -_INF))
 
 
 def _init_best(batch, best_t_ref, best_id_ref):
@@ -190,7 +254,7 @@ def _init_best(batch, best_t_ref, best_id_ref):
 
 
 def _vmem_kernel(
-    sup_ref,  # SMEM (S, 8)
+    clu_t_ref,  # VMEM (8, Np): component-major cluster boxes + valid row
     tri_ref,  # VMEM (C, 16, 128)
     rays_ref,  # VMEM (B, 8): ox oy oz dx dy dz active pad
     rayt_ref,  # VMEM (1, 8, 8, B/8): transposed compact comps + 1/d + active
@@ -198,44 +262,40 @@ def _vmem_kernel(
     out_id_ref,  # VMEM (B, 8) int32
     best_t_ref,  # VMEM scratch (B, 128): per-lane running min t
     best_id_ref,  # VMEM scratch (B, 128) int32: per-lane winning tri id
+    near_ref,  # VMEM scratch (1, Np): per-cluster visitation keys
     *,
     t_eps: float,
 ):
-    num_sup = sup_ref.shape[0]
     batch = rays_ref.shape[0]
     cols = _ray_columns(rays_ref)
     act = cols[6]
-    box_any = _make_box_any(_compact_rays(rayt_ref), t_eps)
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     _init_best(batch, best_t_ref, best_id_ref)
     intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
 
-    def sup_body(s_i, carry):
-        tmax = _packet_tmax(best_t_ref, act)
+    keys, far_bound = _dense_near(clu_t_ref, rays_ref, t_eps)
+    near_ref[0:1, :] = keys
+    extract = _make_extract(near_ref)
 
-        @pl.when(box_any(_row6(sup_ref, s_i), tmax))
-        def _():
-            def clu_body(ci, carry2):
-                c = s_i * SUP_BRANCH + ci
+    m0, i0 = extract()
+    tmax0 = _packet_tmax(best_t_ref, act, far_bound)
 
-                @pl.when(box_any(_blk_box6(tri_ref, c), tmax))
-                def _():
-                    intersect(tri_ref[c], c)
+    def cond(c):
+        m, _i, tmax = c
+        return (m < _CUT) & (m <= tmax)
 
-                return carry2
+    def body(c):
+        _m, i, _tmax = c
+        intersect(tri_ref[i], i)
+        m2, i2 = extract()
+        return m2, i2, _packet_tmax(best_t_ref, act, far_bound)
 
-            jax.lax.fori_loop(0, SUP_BRANCH, clu_body, 0)
-
-        return carry
-
-    jax.lax.fori_loop(0, num_sup, sup_body, 0)
+    jax.lax.while_loop(cond, body, (m0, i0, tmax0))
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
 
 
 def _hbm_kernel(
-    sup_ref,  # SMEM (S, 8)
-    oct_ref,  # VMEM (C/8, 8) -- scalar reads; SMEM scalars cost 64B each,
-    #           so a hero-scale oct table blows the 1MB SMEM budget
+    oct_t_ref,  # VMEM (8, Np): component-major oct boxes + valid row
     tri_ref,  # ANY/HBM (C, 16, 128)
     rays_ref,  # VMEM (B, 8)
     rayt_ref,  # VMEM (1, 8, 8, B/8)
@@ -243,12 +303,12 @@ def _hbm_kernel(
     out_id_ref,  # VMEM (B, 8) int32
     best_t_ref,  # VMEM scratch (B, 128)
     best_id_ref,  # VMEM scratch (B, 128) int32
-    buf_ref,  # VMEM scratch (OCT_BRANCH, 16, 128): DMA landing buffer
-    sem,  # DMA semaphore
+    near_ref,  # VMEM scratch (1, Np): per-oct visitation keys
+    buf_ref,  # VMEM scratch (2, OCT_BRANCH, 16, 128): double-buffered DMA
+    sems,  # DMA semaphores (2,)
     *,
     t_eps: float,
 ):
-    num_sup = sup_ref.shape[0]
     batch = rays_ref.shape[0]
     cols = _ray_columns(rays_ref)
     act = cols[6]
@@ -257,48 +317,102 @@ def _hbm_kernel(
     _init_best(batch, best_t_ref, best_id_ref)
     intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
 
-    octs_per_sup = SUP_BRANCH // OCT_BRANCH
+    keys, far_bound = _dense_near(oct_t_ref, rays_ref, t_eps)
+    near_ref[0:1, :] = keys
+    extract = _make_extract(near_ref)
 
-    def sup_body(s_i, carry):
-        tmax = _packet_tmax(best_t_ref, act)
+    def oct_dma(slot, o_idx):
+        return pltpu.make_async_copy(
+            tri_ref.at[pl.ds(o_idx * OCT_BRANCH, OCT_BRANCH)],
+            buf_ref.at[slot],
+            sems.at[slot],
+        )
 
-        @pl.when(box_any(_row6(sup_ref, s_i), tmax))
+    m0, i0 = extract()
+
+    @pl.when(m0 < _CUT)
+    def _():
+        oct_dma(jnp.int32(0), i0).start()
+
+    def cond(c):
+        m, _i, _slot, tmax = c
+        return (m < _CUT) & (m <= tmax)
+
+    def body(c):
+        _m, i, slot, tmax = c
+        m2, i2 = extract()
+
+        # Prefetch the NEXT candidate's block while intersecting this one.
+        @pl.when(m2 < _CUT)
         def _():
-            def oct_body(oi, carry2):
-                o_idx = s_i * octs_per_sup + oi
+            oct_dma(1 - slot, i2).start()
 
-                @pl.when(box_any(_row6(oct_ref, o_idx), tmax))
-                def _():
-                    dma = pltpu.make_async_copy(
-                        tri_ref.at[pl.ds(o_idx * OCT_BRANCH, OCT_BRANCH)],
-                        buf_ref,
-                        sem,
-                    )
-                    dma.start()
-                    dma.wait()
+        oct_dma(slot, i).wait()
 
-                    def clu_body(k, carry3):
-                        c = o_idx * OCT_BRANCH + k
+        def clu_body(k, carry):
+            box6 = (
+                buf_ref[slot, k, 15, 0], buf_ref[slot, k, 15, 1],
+                buf_ref[slot, k, 15, 2], buf_ref[slot, k, 15, 3],
+                buf_ref[slot, k, 15, 4], buf_ref[slot, k, 15, 5],
+            )
 
-                        @pl.when(box_any(_blk_box6(buf_ref, k), tmax))
-                        def _():
-                            intersect(buf_ref[k], c)
+            @pl.when(box_any(box6, tmax))
+            def _():
+                intersect(buf_ref[slot, k], i * OCT_BRANCH + k)
 
-                        return carry3
+            return carry
 
-                    jax.lax.fori_loop(0, OCT_BRANCH, clu_body, 0)
+        jax.lax.fori_loop(0, OCT_BRANCH, clu_body, 0)
+        return m2, i2, 1 - slot, _packet_tmax(best_t_ref, act, far_bound)
 
-                return carry2
+    m_f, i_f, slot_f, _tm = jax.lax.while_loop(
+        cond, body, (m0, i0, jnp.int32(0), _packet_tmax(best_t_ref, act, far_bound))
+    )
 
-            jax.lax.fori_loop(0, octs_per_sup, oct_body, 0)
+    # Drain: when the loop exits on the early-out (m_f <= tmax failed but
+    # m_f < _CUT), the last extracted candidate's prefetch is still in
+    # flight; a started DMA must be waited before the kernel returns.
+    @pl.when(m_f < _CUT)
+    def _():
+        oct_dma(slot_f, i_f).wait()
 
-        return carry
-
-    jax.lax.fori_loop(0, num_sup, sup_body, 0)
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
 
 
-def _prep_rays(o, d, active, packet):
+def _spread3_u32(v):
+    """Spread the low 10 bits of a uint32 to every 3rd bit (Morton)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _coherence_perm(o, d, act):
+    """Permutation sorting rays into spatially/angularly coherent packets.
+
+    Key = Morton(origin, 5 bits/axis over the batch bbox) << 15 |
+          Morton(direction, 5 bits/axis over [-1,1]). Packet traversal
+    cost scales with the UNION of boxes the packet's rays pierce, not the
+    per-ray average -- e.g. hero-scene camera rays pierce ~32 octs each
+    but a 256-consecutive-pixel strip unions to ~530; Morton-tiled packets
+    shrink that to near the per-ray floor. Inactive rays sort to the tail
+    so their packets exit the traversal loop immediately.
+    """
+    lo = jnp.min(o, axis=0)
+    span = jnp.maximum(jnp.max(o, axis=0) - lo, 1e-12)
+    qo = jnp.clip((o - lo) / span * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    qd = jnp.clip((d * 0.5 + 0.5) * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    mo = (_spread3_u32(qo[:, 0]) | (_spread3_u32(qo[:, 1]) << 1)
+          | (_spread3_u32(qo[:, 2]) << 2))
+    md = (_spread3_u32(qd[:, 0]) | (_spread3_u32(qd[:, 1]) << 1)
+          | (_spread3_u32(qd[:, 2]) << 2))
+    key = ((mo << 15) | md).astype(jnp.int32)
+    key = jnp.where(act > 0.0, key, jnp.int32(2**31 - 1))
+    return jnp.argsort(key)
+
+
+def _prep_rays(o, d, active, packet, sort_rays=True):
     # Detach the kernel INPUTS: pallas_call has no JVP/VJP rule, so any
     # tangent reaching it (e.g. ray origins carried through the bounce-scan
     # linearization of jax.grad) would crash in _pallas_call_jvp_rule.
@@ -315,6 +429,11 @@ def _prep_rays(o, d, active, packet):
         act = jnp.ones((num_rays,), jnp.float32)
     else:
         act = jax.lax.stop_gradient(active).astype(jnp.float32)
+
+    perm = None
+    if sort_rays and num_rays > packet:
+        perm = _coherence_perm(o, d, act)
+        o, d, act = o[perm], d[perm], act[perm]
 
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)))
@@ -335,12 +454,16 @@ def _prep_rays(o, d, active, packet):
     num_packets = total // packet
     # (P, comp, sublane, lane): ray r of packet p sits at [p, :, r % 8, r // 8].
     rays_t = comps.reshape(8, num_packets, packet // 8, 8).transpose(1, 0, 3, 2)
-    return rays, rays_t, num_packets, num_rays
+    return rays, rays_t, num_packets, num_rays, perm
 
 
-def _unpack(out_t, out_id, num_rays):
+def _unpack(out_t, out_id, num_rays, perm=None):
     t = out_t[:num_rays, 0]
     idx = out_id[:num_rays, 0]
+    if perm is not None:
+        # Results are in coherence-sorted order; scatter back to ray order.
+        t = jnp.zeros_like(t).at[perm].set(t)
+        idx = jnp.zeros_like(idx).at[perm].set(idx)
     hit = t < _INF
     idx = jnp.where(hit, idx, -1)
     t = jnp.where(hit, t, jnp.inf)
@@ -384,13 +507,16 @@ def nearest_hit_cluster(
     o, d: (R, 3) -> (t (R,), idx (R,) int32, hit (R,) bool), all detached.
     Drop-in replacement for accel.wavefront.nearest_hit_wavefront.
     """
-    rays, rays_t, num_packets, num_rays = _prep_rays(o, d, active, packet)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
 
     out_t, out_id = pl.pallas_call(
         functools.partial(_vmem_kernel, t_eps=t_eps),
         grid=(num_packets,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sup_bbox
+            pl.BlockSpec(
+                cbvh.clu_bbox_t.shape, lambda p: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 cbvh.tri_const.shape, lambda p: (0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -405,11 +531,12 @@ def nearest_hit_cluster(
         scratch_shapes=[
             pltpu.VMEM((packet, 128), jnp.float32),
             pltpu.VMEM((packet, 128), jnp.int32),
+            pltpu.VMEM((1, cbvh.clu_bbox_t.shape[1]), jnp.float32),
         ],
         interpret=interpret,
-    )(cbvh.sup_bbox, cbvh.tri_const, rays, rays_t)
+    )(cbvh.clu_bbox_t, cbvh.tri_const, rays, rays_t)
 
-    return _unpack(out_t, out_id, num_rays)
+    return _unpack(out_t, out_id, num_rays, perm)
 
 
 @functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
@@ -424,17 +551,16 @@ def nearest_hit_cluster_hbm(
 ):
     """Batched nearest hit via the HBM+DMA Pallas packet kernel (big scenes:
     the triangle table stays in HBM; 64KB oct blocks are DMA'd on demand)."""
-    rays, rays_t, num_packets, num_rays = _prep_rays(o, d, active, packet)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
 
     out_t, out_id = pl.pallas_call(
         functools.partial(_hbm_kernel, t_eps=t_eps),
         grid=(num_packets,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # sup_bbox
             pl.BlockSpec(
-                cbvh.oct_bbox.shape, lambda p: (0, 0),
+                cbvh.oct_bbox_t.shape, lambda p: (0, 0),
                 memory_space=pltpu.VMEM,
-            ),  # oct_bbox
+            ),  # oct boxes, component-major
             pl.BlockSpec(memory_space=pl.ANY),  # tri_const stays in HBM
             *_ray_specs(packet),
         ],
@@ -446,10 +572,11 @@ def nearest_hit_cluster_hbm(
         scratch_shapes=[
             pltpu.VMEM((packet, 128), jnp.float32),
             pltpu.VMEM((packet, 128), jnp.int32),
-            pltpu.VMEM((OCT_BRANCH, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((1, cbvh.oct_bbox_t.shape[1]), jnp.float32),
+            pltpu.VMEM((2, OCT_BRANCH, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(cbvh.sup_bbox, cbvh.oct_bbox, cbvh.tri_const, rays, rays_t)
+    )(cbvh.oct_bbox_t, cbvh.tri_const, rays, rays_t)
 
-    return _unpack(out_t, out_id, num_rays)
+    return _unpack(out_t, out_id, num_rays, perm)
