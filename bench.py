@@ -112,6 +112,43 @@ def main() -> None:
         "fwd_ms_per_sample": round(fwd_time * 1e3, 2),
     }
 
+    if args.preset != "hero":
+        # Adaptive compute-skipping (path_tracing.cuh:347-379 parity): step
+        # wall-clock on a frame whose pixels are 90% converged, vs the full
+        # uniform step. The compacted wavefront should approach the 10%-active
+        # ideal rather than the round-1 behavior (zeroed but fully computed).
+        import numpy as np
+
+        from isaklm_raytracer_tpu.integrator.render import (
+            compact_bucket,
+            make_compact_step_fn,
+        )
+        from isaklm_raytracer_tpu.scene.types import GBuffer
+
+        rng_np = np.random.default_rng(0)
+        conv = rng_np.random(config.num_pixels) < 0.90
+        counts = np.where(conv, config.max_samples, 0).astype(np.int32)
+        gb = GBuffer(
+            frame=jnp.zeros((config.num_pixels, 3), jnp.float32),
+            sq_luminance=jnp.zeros((config.num_pixels,), jnp.float32),
+            count=jnp.asarray(counts),
+        )
+        n_active = int((~conv).sum())
+        bucket = compact_bucket(n_active, config.num_pixels, config.min_wavefront)
+        cstep = make_compact_step_fn(config, bucket)
+        gb = cstep(scene, camera, gb, key)  # compile + warmup (donates gb)
+        jax.block_until_ready(gb)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            gb = cstep(scene, camera, gb, jax.random.fold_in(key, 300 + i))
+        jax.block_until_ready(gb)
+        adaptive_time = (time.perf_counter() - t0) / steps
+        result["adaptive_90pct_ms_per_step"] = round(adaptive_time * 1e3, 2)
+        result["adaptive_90pct_speedup"] = round(fwd_time / adaptive_time, 2)
+        log(f"adaptive 90%-converged: {adaptive_time*1e3:.1f} ms/step "
+            f"({fwd_time/adaptive_time:.1f}x vs full, ideal 10x; "
+            f"bucket {bucket}/{config.num_pixels})")
+
     if not args.no_bwd:
         @jax.jit
         def fwd_bwd(scene_, albedo, key):

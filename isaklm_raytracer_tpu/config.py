@@ -49,6 +49,13 @@ class RenderConfig:
     # ray chunks via lax.map, so the compiled program (and its compile time /
     # VMEM footprint) is independent of resolution. 0 disables chunking.
     ray_chunk: int = 16384
+    # Smallest compacted adaptive wavefront (integrator.render.compact_bucket):
+    # the launch shrinks down this far as pixels converge. Lower = closer to
+    # the reference's per-thread skip ideal (path_tracing.cuh:347-379); the
+    # bucket ladder {num_pixels, /2, ..., min_wavefront} costs one compiled
+    # program per size, so very small floors trade compile time for tail
+    # speed.
+    min_wavefront: int = 4096
 
     def __post_init__(self) -> None:
         if self.width <= 0 or self.height <= 0:

@@ -169,6 +169,68 @@ def resolve_image(gbuffer: GBuffer, config: RenderConfig) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
+def make_active_count_fn(config: RenderConfig):
+    """Jitted (gbuffer) -> int32 count of pixels still needing a sample."""
+
+    @jax.jit
+    def count(gb):
+        return jnp.sum(needs_sample(gb, config).astype(jnp.int32))
+
+    return count
+
+
+def compact_bucket(n_active: int, num_pixels: int, chunk: int) -> int:
+    """Smallest halving of num_pixels (floored at `chunk`) >= n_active.
+
+    The bucket ladder {num_pixels, /2, /4, ..., chunk} bounds the number of
+    distinct compiled programs to log2(num_pixels/chunk) + 1 while keeping
+    padding waste below 2x.
+    """
+    size = num_pixels
+    while size % 2 == 0 and size // 2 >= max(n_active, 1) and size // 2 >= chunk:
+        size //= 2
+    return size
+
+
+@functools.lru_cache(maxsize=64)
+def make_compact_step_fn(config: RenderConfig, bucket: int):
+    """Jitted compute-skipping adaptive step: gather the unconverged pixel
+    ids into a fixed `bucket`-sized wavefront, render ONLY those, scatter-add
+    back into the G-buffer.
+
+    This is the TPU re-architecture of the reference's per-thread skip
+    (path_tracing.cuh:347-379: converged threads simply do not call
+    trace_path): SIMD lanes can't individually skip, so the saving comes
+    from shrinking the launched wavefront instead. Because every variate is
+    a counter-mode function of the GLOBAL pixel id (math/rng.py), the
+    compacted render is bit-identical to the full masked render -- tested in
+    tests/test_render_e2e.py.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(scene, camera, gb, k):
+        active = needs_sample(gb, config)
+        n_active = jnp.sum(active)
+        # Ascending ids (coherent packets); overflow lanes repeat id 0 but
+        # are masked off via their position past n_active.
+        ids = jnp.nonzero(active, size=bucket, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(bucket, dtype=jnp.int32) < n_active
+        radiance = render_sample(
+            scene, camera, k, config, active=valid, pixel_ids=ids
+        )
+        vi = valid.astype(jnp.int32)
+        return GBuffer(
+            frame=gb.frame.at[ids].add(radiance),  # masked lanes add 0
+            sq_luminance=gb.sq_luminance.at[ids].add(
+                jnp.where(valid, jnp.square(luminance(radiance)), 0.0)
+            ),
+            count=gb.count.at[ids].add(vi),
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
 def make_step_fn(config: RenderConfig):
     """Jitted progressive step (scene, camera, gbuffer, key) -> gbuffer.
 
@@ -206,11 +268,28 @@ def render(
     if gbuffer is None:
         gbuffer = GBuffer.create(config.num_pixels)
     step = make_step_fn(config)
+    count_active = make_active_count_fn(config) if adaptive else None
 
     base = jax.random.PRNGKey(seed)
     for i in range(num_samples):
-        gbuffer = step(
-            scene, camera, gbuffer, jax.random.fold_in(base, sample_offset + i),
-            adaptive,
-        )
+        key = jax.random.fold_in(base, sample_offset + i)
+        if adaptive:
+            # Host-side wavefront sizing (one scalar sync per step, cheap
+            # next to tracing): shrink the launch to the unconverged set so
+            # converged pixels cost NOTHING, like the reference's per-thread
+            # skip (path_tracing.cuh:347-379).
+            n_active = int(count_active(gbuffer))
+            if n_active == 0:
+                break
+            bucket = compact_bucket(
+                n_active,
+                config.num_pixels,
+                min(config.min_wavefront, config.num_pixels),
+            )
+            if bucket < config.num_pixels:
+                gbuffer = make_compact_step_fn(config, bucket)(
+                    scene, camera, gbuffer, key
+                )
+                continue
+        gbuffer = step(scene, camera, gbuffer, key, adaptive)
     return gbuffer

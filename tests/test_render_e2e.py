@@ -77,6 +77,61 @@ def test_adaptive_counts_progress(scene, camera):
     assert counts.max() <= 4
 
 
+def test_compact_adaptive_step_matches_full_masked_step(scene, camera):
+    """Compute-skipping adaptive sampling (gather unconverged ids, render the
+    compacted wavefront, scatter-add) must be BIT-IDENTICAL to the full
+    masked render: every variate is a counter-mode function of the GLOBAL
+    pixel id (math/rng.py), so compaction cannot change any sample."""
+    from isaklm_raytracer_tpu.integrator.render import (
+        compact_bucket,
+        make_compact_step_fn,
+        render_step,
+    )
+
+    cfg = RenderConfig(
+        width=32, height=32, max_bounces=4, min_samples=1, max_samples=64,
+        ray_chunk=128,
+    )
+    # A partially-converged G-buffer: ~85% of pixels artificially saturated.
+    gb = render(scene, camera, cfg, num_samples=2, seed=5)
+    rng = np.random.default_rng(0)
+    converged = rng.random(cfg.num_pixels) < 0.85
+    count = np.asarray(gb.count).copy()
+    count[converged] = cfg.max_samples
+    gb = gb.replace(count=jnp.asarray(count))
+
+    n_active = int((~converged).sum())
+    bucket = compact_bucket(n_active, cfg.num_pixels, cfg.ray_chunk)
+    assert bucket < cfg.num_pixels  # the launch actually shrank
+    assert bucket >= n_active
+
+    key = jax.random.PRNGKey(9)
+    full = render_step(scene, camera, gb, key, cfg, adaptive=True)
+    compact = make_compact_step_fn(cfg, bucket)(
+        scene, camera,
+        jax.tree_util.tree_map(jnp.copy, gb),  # step donates its gbuffer
+        key,
+    )
+    np.testing.assert_array_equal(np.asarray(full.count), np.asarray(compact.count))
+    np.testing.assert_allclose(
+        np.asarray(full.frame), np.asarray(compact.frame), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.sq_luminance), np.asarray(compact.sq_luminance)
+    )
+
+
+def test_render_adaptive_stops_when_all_converged(scene, camera):
+    cfg = RenderConfig(
+        width=16, height=16, max_bounces=3, min_samples=1, max_samples=3,
+        ray_chunk=64,
+    )
+    gb = render(scene, camera, cfg, num_samples=50, seed=2, adaptive=True)
+    counts = np.asarray(gb.count)
+    assert counts.max() <= cfg.max_samples
+    assert counts.min() >= cfg.min_samples
+
+
 def test_gradient_wrt_albedo_emission_camera(scene, camera):
     small = RenderConfig(width=12, height=12, max_bounces=3, min_samples=1, max_samples=4)
 
