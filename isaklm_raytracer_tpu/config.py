@@ -56,6 +56,11 @@ class RenderConfig:
     # program per size, so very small floors trade compile time for tail
     # speed.
     min_wavefront: int = 4096
+    # Carry the lobe-selection probability's derivative on the lobe weights
+    # (detached-ratio estimator, integrator/bsdf.py): unbiased IOR/roughness
+    # gradients of the EXPECTED radiance. Off = pure reparameterized
+    # gradient, pointwise verifiable by CRN finite differences.
+    lobe_ratio_grad: bool = True
 
     def __post_init__(self) -> None:
         if self.width <= 0 or self.height <= 0:

@@ -24,6 +24,7 @@ flow through directions and weights to material parameters.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -50,6 +51,7 @@ def scatter(
     u_lobe: jnp.ndarray,
     u_diff1: jnp.ndarray,
     u_diff2: jnp.ndarray,
+    lobe_ratio_grad: bool = True,
 ) -> ScatterSample:
     """Sample the next scattering event for every lane.
 
@@ -88,21 +90,42 @@ def scatter(
     n1 = jnp.where(inside_medium, ior, 1.0)
     n2 = jnp.where(inside_medium, 1.0, ior)
     f_diel = sampling.fresnel_dielectric(wi, half, n1, n2)
-    choose_specular = u_lobe < f_diel
+    # Detached-sampling ratio estimator: the lobe is CHOSEN with the
+    # detached Fresnel (a discrete reparameterized decision autodiff cannot
+    # see), and each lobe's weight carries the ratio of the live Fresnel to
+    # the detached one. Forward values are exactly 1 (bit-identical images);
+    # under jax.grad the ratio contributes d(selection probability)/d(theta)
+    # -- the score-like term that makes IOR and roughness gradients unbiased
+    # (E[weight * lobe] = F * spec + (1 - F) * rest with F differentiable).
+    # The reference has no gradient story at all (path_tracing.cuh:187-200);
+    # this is the differentiable-rendering extension of its estimator.
+    # `lobe_ratio_grad=False` drops the ratio terms (pure reparameterized
+    # gradient): CRN finite differences can then verify autodiff pointwise,
+    # because FD cannot see through stop_gradient (F/detach(F) is
+    # identically 1 under FD) -- the ratio term is only correct against the
+    # EXPECTED radiance (tests/test_estimator.py unit-checks that).
+    f_det = jax.lax.stop_gradient(f_diel)
+    choose_specular = u_lobe < f_det
+    if lobe_ratio_grad:
+        ratio_spec = f_diel / jnp.maximum(f_det, 1e-12)
+        ratio_rest = (1.0 - f_diel) / jnp.maximum(1.0 - f_det, 1e-12)
+    else:
+        ratio_spec = jnp.ones_like(f_det)
+        ratio_rest = jnp.ones_like(f_det)
 
-    w_spec = jnp.where(inside_medium, 1.0, sw_refl)[..., None] * jnp.ones(
-        (1, 3), jnp.float32
-    )
+    w_spec = (jnp.where(inside_medium, 1.0, sw_refl) * ratio_spec)[
+        ..., None
+    ] * jnp.ones((1, 3), jnp.float32)
 
     is_transparent = hit.transparent > 0.5
     n1_t = jnp.where(is_transparent, n1, 1.0)
     n2_t = jnp.where(is_transparent, n2, 1.5)
     refr = sampling.refract(wi, half, n1_t, n2_t)
     sw_refr = sampling.specular_weight(wi, refr, half, normal, rough)
-    w_trans = hit.albedo * sw_refr[..., None]
+    w_trans = hit.albedo * (sw_refr * ratio_rest)[..., None]
 
     diff = sampling.cosine_hemisphere(u_diff1, u_diff2, normal, tangent, bitangent)
-    w_diff = hit.albedo
+    w_diff = hit.albedo * ratio_rest[..., None]
 
     is_spec = (~is_metal) & choose_specular
     is_trans = (~is_metal) & (~choose_specular) & is_transparent

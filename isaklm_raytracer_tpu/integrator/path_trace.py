@@ -75,7 +75,10 @@ def trace_paths(
             emit_mask[:, None], attrs.emittance * throughput, 0.0
         )
 
-        event = scatter(attrs, ray_d, inside, u[0], u[1], u[2], u[3], u[4])
+        event = scatter(
+            attrs, ray_d, inside, u[0], u[1], u[2], u[3], u[4],
+            lobe_ratio_grad=config.lobe_ratio_grad,
+        )
         new_throughput = throughput * event.weight
 
         if scene.has_lights:
@@ -92,7 +95,13 @@ def trace_paths(
         # divides by the raw max channel even when it exceeds 1; replicated.
         # Bounces below rr_start_bounce skip RR entirely (neither kill nor
         # reweight) -- used to make the estimator smooth for FD checks.
-        survival = jnp.max(new_throughput, axis=-1)
+        # Survival is DETACHED in both the kill test and the reweight: a RR
+        # estimator whose threshold and 1/p factor share the same detached p
+        # has gradient E[dw/p_det * 1{u<p_det}] = dw -- unbiased -- whereas a
+        # live p would leave an uncancelled -w dp/p^2 reparameterized term
+        # (the matching flip term is invisible to autodiff). Forward values
+        # are unchanged.
+        survival = jax.lax.stop_gradient(jnp.max(new_throughput, axis=-1))
         apply_rr = bounce >= config.rr_start_bounce
         rr_alive = (u[8] <= survival) | (~apply_rr)
         new_throughput = jnp.where(
