@@ -59,11 +59,70 @@ def build_bench(preset: str):
     return scene, camera, config, steps, warmup
 
 
+def verify_kernel(scene, config, num_rays: int, log) -> dict:
+    """Compiled-path correctness gate (VERDICT round 2, item #4): the EXACT
+    intersector the bench times (Pallas cluster kernel on TPU, compiled --
+    not interpret mode) must agree with the brute-force oracle on random
+    rays before any timing is recorded. Hard-fails the bench on mismatch,
+    so every BENCH_r*.json is also a compiled-correctness artifact.
+
+    Tolerances: hit masks must match exactly; hit distances to 1e-3
+    relative (f32 reassociation under Mosaic vs XLA). Hit IDs may differ
+    only where two triangles tie in t (coplanar duplicates)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaklm_raytracer_tpu.accel.traverse import nearest_hit_brute
+    from isaklm_raytracer_tpu.integrator.render import make_trace_fn
+
+    trace = jax.jit(make_trace_fn(scene, config))
+    lo = np.asarray(scene.vertices).reshape(-1, 3).min(axis=0)
+    hi = np.asarray(scene.vertices).reshape(-1, 3).max(axis=0)
+    rng = np.random.default_rng(42)
+    o = jnp.asarray(
+        (rng.random((num_rays, 3)) * (hi - lo) + lo).astype(np.float32)
+    )
+    d_raw = rng.standard_normal((num_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d_raw / np.linalg.norm(d_raw, axis=1, keepdims=True))
+
+    t_k, i_k, h_k = jax.block_until_ready(trace(o, d))
+    t_b, i_b, h_b = jax.block_until_ready(
+        jax.jit(nearest_hit_brute)(o, d, scene.vertices)
+    )
+    h_k, h_b = np.asarray(h_k), np.asarray(h_b)
+    t_k, t_b = np.asarray(t_k), np.asarray(t_b)
+    hit_mism = int((h_k != h_b).sum())
+    both = h_k & h_b
+    rel_dt = (
+        float((np.abs(t_k - t_b)[both] / np.maximum(t_b[both], 1e-3)).max())
+        if both.any()
+        else 0.0
+    )
+    id_mism = int((np.asarray(i_k)[both] != np.asarray(i_b)[both]).sum())
+    log(f"kernel check: {num_rays} rays, hit mismatches={hit_mism}, "
+        f"max rel dt={rel_dt:.2e}, id mismatches={id_mism} "
+        f"(hit rate {h_b.mean():.2f})")
+    if hit_mism or rel_dt > 1e-3:
+        print(json.dumps({
+            "metric": "kernel_check_failed", "value": 0, "unit": "bool",
+            "vs_baseline": 0.0, "hit_mismatches": hit_mism,
+            "max_rel_dt": rel_dt,
+        }))
+        raise SystemExit(1)
+    return {
+        "kernel_check_rays": num_rays,
+        "kernel_check_max_rel_dt": round(rel_dt, 8),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="default", choices=["quick", "default", "hero"])
     parser.add_argument("--json-only", action="store_true")
     parser.add_argument("--no-bwd", action="store_true")
+    parser.add_argument("--no-check", action="store_true",
+                        help="skip the compiled-kernel-vs-oracle gate")
     args = parser.parse_args()
 
     import jax
@@ -77,6 +136,12 @@ def main() -> None:
     log(f"bench: preset={args.preset} device={device.device_kind} "
         f"tris={scene.num_triangles} res={config.width}x{config.height} "
         f"bounces={config.max_bounces}")
+
+    check_fields = {}
+    if not args.no_check:
+        # fewer check rays at hero scale: brute force is O(rays x tris)
+        n_check = 256 if args.preset == "hero" else 2048
+        check_fields = verify_kernel(scene, config, n_check, log)
 
     # The scene is a jit ARGUMENT (not a closure constant): closed-over
     # arrays get baked into the compile payload, which at hero scale
@@ -110,6 +175,7 @@ def main() -> None:
         "resolution": f"{config.width}x{config.height}",
         "max_bounces": config.max_bounces,
         "fwd_ms_per_sample": round(fwd_time * 1e3, 2),
+        **check_fields,
     }
 
     if args.preset != "hero":

@@ -56,6 +56,9 @@ def parse_args(argv=None):
                    help="'auto' = shard over all local devices; '1' = single")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--preview", action="store_true",
+                   help="progressive terminal preview with interactive camera "
+                        "(the reference's GLFW window loop, main.cu:114-155)")
     return p.parse_args(argv)
 
 
@@ -164,6 +167,19 @@ def main(argv=None) -> int:
 
     x, y, z, yaw, pitch = args.camera
     camera = Camera.create((x, y, z), yaw, pitch, args.fov, args.aperture)
+
+    if args.preview:
+        from isaklm_raytracer_tpu.cli.preview import run_preview
+        from isaklm_raytracer_tpu.viewer import InteractiveSession
+
+        session = InteractiveSession(
+            scene, camera, config, seed=args.seed,
+            adaptive=not args.no_adaptive,
+        )
+        image = run_preview(session, max_samples=args.max_samples)
+        save_png(args.out, image)
+        print(f"wrote {args.out}", file=sys.stderr)
+        return 0
 
     gbuffer = None
     start_sample = 0

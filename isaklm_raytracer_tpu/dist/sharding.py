@@ -55,6 +55,21 @@ def _pad_pixels(config: RenderConfig, num_tile: int) -> int:
     return -(-config.num_pixels // num_tile)
 
 
+def _put_global(arr: np.ndarray, mesh: Mesh, spec: P):
+    """device_put that also works when the mesh spans multiple processes
+    (every process passes the same host array; each materializes only its
+    addressable shards)."""
+    sharding = NamedSharding(mesh, spec)
+    if all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    ):
+        return jax.device_put(jnp.asarray(arr), sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
     """Returns jitted render(camera, key) -> (H*W, 3) radiance, averaged
     over the mesh's sample axis and sharded over its tile axis.
@@ -92,16 +107,20 @@ def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
         check_vma=False,
     )
 
-    pixel_ids = jnp.arange(total, dtype=jnp.int32).reshape(num_tile, per_tile)
-    pixel_ids = jnp.minimum(pixel_ids, config.num_pixels - 1)
-    pixel_ids = jax.device_put(pixel_ids, NamedSharding(mesh, P("tile", None)))
+    ids = np.minimum(np.arange(total, dtype=np.int32), config.num_pixels - 1)
+    pixel_ids = _put_global(
+        ids.reshape(num_tile, per_tile), mesh, P("tile", None)
+    )
 
+    # pixel_ids is a jit ARGUMENT (bound via partial), not a closure: jit
+    # cannot close over arrays that span non-addressable devices, so the
+    # closure form breaks under multi-host (tests/test_multihost.py).
     @jax.jit
-    def run(camera: Camera, key):
-        radiance = shard(pixel_ids, camera, key)
+    def run_impl(pixel_ids_, camera: Camera, key):
+        radiance = shard(pixel_ids_, camera, key)
         return radiance.reshape(total, 3)[: config.num_pixels]
 
-    return run, num_sample
+    return functools.partial(run_impl, pixel_ids), num_sample
 
 
 def sharded_value_and_grad_fn(
@@ -203,24 +222,21 @@ def sharded_value_and_grad_fn(
     ids = np.arange(total, dtype=np.int32)
     valid_np = ids < config.num_pixels
     ids = np.minimum(ids, config.num_pixels - 1)
-    pixel_ids = jax.device_put(
-        jnp.asarray(ids).reshape(num_tile, per_tile),
-        NamedSharding(mesh, P("tile", None)),
-    )
-    valid = jax.device_put(
-        jnp.asarray(valid_np).reshape(num_tile, per_tile),
-        NamedSharding(mesh, P("tile", None)),
+    pixel_ids = _put_global(ids.reshape(num_tile, per_tile), mesh, P("tile", None))
+    valid = _put_global(
+        valid_np.reshape(num_tile, per_tile), mesh, P("tile", None)
     )
 
+    # bound as jit arguments, not closures (multi-host: see _put_global)
     @jax.jit
-    def value_and_grad(params, camera, target, key):
+    def vg_impl(pixel_ids_, valid_, params, camera, target, key):
         # target: (H*W, 3) -> padded tile shards
         pad = total - config.num_pixels
         t = jnp.pad(target, ((0, pad), (0, 0))).reshape(num_tile, per_tile, 3)
-        loss, grads = shard(pixel_ids, valid, params, camera, t, key)
+        loss, grads = shard(pixel_ids_, valid_, params, camera, t, key)
         return loss, dict(zip(float_fields, grads))
 
-    return value_and_grad
+    return functools.partial(vg_impl, pixel_ids, valid)
 
 
 def sharded_train_step_fn(
@@ -241,12 +257,18 @@ def sharded_train_step_fn(
     same lr diverges on 3/6 seeds (scripts/recipe_sweep.py)."""
     vg = sharded_value_and_grad_fn(scene, config, mesh, decorrelate=decorrelate)
 
+    # NOT wrapped in an outer jit: vg is already jitted, and re-jitting
+    # would close over its partial-bound global pixel-id arrays, which is
+    # illegal when the mesh spans processes (multi-host).
     @jax.jit
-    def train_step(params, camera, target, key):
-        loss, grads = vg(params, camera, target, key)
+    def apply(params, grads):
         updates = {
             f: getattr(params, f) - learning_rate * g for f, g in grads.items()
         }
-        return params.replace(**updates), loss
+        return params.replace(**updates)
+
+    def train_step(params, camera, target, key):
+        loss, grads = vg(params, camera, target, key)
+        return apply(params, grads), loss
 
     return train_step

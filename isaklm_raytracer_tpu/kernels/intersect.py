@@ -301,14 +301,13 @@ def _hbm_kernel(
     rayt_ref,  # VMEM (1, 8, 8, B/8)
     out_t_ref,  # VMEM (B, 8)
     out_id_ref,  # VMEM (B, 8) int32
-    best_t_ref,  # VMEM scratch (B, 128)
-    best_id_ref,  # VMEM scratch (B, 128) int32
-    near_ref,  # VMEM scratch (1, Np): per-oct visitation keys
-    buf_ref,  # VMEM scratch (2, OCT_BRANCH, 16, 128): double-buffered DMA
-    sems,  # DMA semaphores (2,)
-    *,
+    *rest,  # [out_stats_ref if stats] + scratch refs
     t_eps: float,
+    stats: bool = False,
 ):
+    if stats:
+        out_stats_ref, *rest = rest
+    (best_t_ref, best_id_ref, near_ref, buf_ref, sems) = rest
     batch = rays_ref.shape[0]
     cols = _ray_columns(rays_ref)
     act = cols[6]
@@ -335,11 +334,11 @@ def _hbm_kernel(
         oct_dma(jnp.int32(0), i0).start()
 
     def cond(c):
-        m, _i, _slot, tmax = c
+        m, _i, _slot, tmax, _nv, _nc = c
         return (m < _CUT) & (m <= tmax)
 
     def body(c):
-        _m, i, slot, tmax = c
+        _m, i, slot, tmax, n_visit, n_clu = c
         m2, i2 = extract()
 
         # Prefetch the NEXT candidate's block while intersecting this one.
@@ -349,24 +348,28 @@ def _hbm_kernel(
 
         oct_dma(slot, i).wait()
 
-        def clu_body(k, carry):
+        def clu_body(k, n):
             box6 = (
                 buf_ref[slot, k, 15, 0], buf_ref[slot, k, 15, 1],
                 buf_ref[slot, k, 15, 2], buf_ref[slot, k, 15, 3],
                 buf_ref[slot, k, 15, 4], buf_ref[slot, k, 15, 5],
             )
+            pierced = box_any(box6, tmax)
 
-            @pl.when(box_any(box6, tmax))
+            @pl.when(pierced)
             def _():
                 intersect(buf_ref[slot, k], i * OCT_BRANCH + k)
 
-            return carry
+            return n + pierced.astype(jnp.int32)
 
-        jax.lax.fori_loop(0, OCT_BRANCH, clu_body, 0)
-        return m2, i2, 1 - slot, _packet_tmax(best_t_ref, act, far_bound)
+        n_clu = jax.lax.fori_loop(0, OCT_BRANCH, clu_body, n_clu)
+        return (m2, i2, 1 - slot, _packet_tmax(best_t_ref, act, far_bound),
+                n_visit + 1, n_clu)
 
-    m_f, i_f, slot_f, _tm = jax.lax.while_loop(
-        cond, body, (m0, i0, jnp.int32(0), _packet_tmax(best_t_ref, act, far_bound))
+    m_f, i_f, slot_f, _tm, n_visit, n_clu = jax.lax.while_loop(
+        cond, body,
+        (m0, i0, jnp.int32(0), _packet_tmax(best_t_ref, act, far_bound),
+         jnp.int32(0), jnp.int32(0)),
     )
 
     # Drain: when the loop exits on the early-out (m_f <= tmax failed but
@@ -377,6 +380,11 @@ def _hbm_kernel(
         oct_dma(slot_f, i_f).wait()
 
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+    if stats:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out_stats_ref[:] = jnp.where(
+            lane == 0, n_visit, jnp.where(lane == 1, n_clu, 0)
+        )
 
 
 def _spread3_u32(v):
@@ -539,7 +547,9 @@ def nearest_hit_cluster(
     return _unpack(out_t, out_id, num_rays, perm)
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats")
+)
 def nearest_hit_cluster_hbm(
     cbvh: ClusterBVH,
     o: jnp.ndarray,
@@ -548,13 +558,34 @@ def nearest_hit_cluster_hbm(
     active=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
+    stats: bool = False,
 ):
     """Batched nearest hit via the HBM+DMA Pallas packet kernel (big scenes:
-    the triangle table stays in HBM; 64KB oct blocks are DMA'd on demand)."""
+    the triangle table stays in HBM; 64KB oct blocks are DMA'd on demand).
+
+    stats=True additionally returns a (num_packets, 2) int32 array of
+    [oct visits, clusters intersected] per packet -- the exact work counts
+    behind the roofline numbers in BASELINE.md."""
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
 
-    out_t, out_id = pl.pallas_call(
-        functools.partial(_hbm_kernel, t_eps=t_eps),
+    out_shape = [
+        jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+        jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+    ]
+    out_specs = _out_specs(packet)
+    if stats:
+        # (8, 128) per-packet block: Mosaic requires >= (8, 128) tiles for
+        # VMEM outputs; lanes 0/1 of each packet's first row carry the
+        # [oct visits, clusters intersected] counters.
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_packets * 8, 128), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda p: (p, 0), memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_hbm_kernel, t_eps=t_eps, stats=stats),
         grid=(num_packets,),
         in_specs=[
             pl.BlockSpec(
@@ -564,11 +595,8 @@ def nearest_hit_cluster_hbm(
             pl.BlockSpec(memory_space=pl.ANY),  # tri_const stays in HBM
             *_ray_specs(packet),
         ],
-        out_specs=_out_specs(packet),
-        out_shape=[
-            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
-            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((packet, 128), jnp.float32),
             pltpu.VMEM((packet, 128), jnp.int32),
@@ -579,4 +607,7 @@ def nearest_hit_cluster_hbm(
         interpret=interpret,
     )(cbvh.oct_bbox_t, cbvh.tri_const, rays, rays_t)
 
-    return _unpack(out_t, out_id, num_rays, perm)
+    if stats:
+        per_packet = out[2].reshape(num_packets, 8, 128)[:, 0, :2]
+        return _unpack(out[0], out[1], num_rays, perm) + (per_packet,)
+    return _unpack(out[0], out[1], num_rays, perm)

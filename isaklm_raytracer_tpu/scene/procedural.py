@@ -144,11 +144,40 @@ def _add_box(b: SceneBuilder, center, size, mat: int):
     b.add_quad((x1, y0, z0), (x1, y0, z1), (x1, y1, z1), (x1, y1, z0), mat)  # right
 
 
-def material_demo_scene() -> Scene:
+def checker_texture(
+    tiles: int = 8,
+    size: int = 64,
+    c0=(40, 40, 40),
+    c1=(230, 230, 230),
+) -> np.ndarray:
+    """(size, size, 3) uint8 checkerboard -- procedural stand-in for the
+    reference's image textures (textures/*.png|jpg), fed through the same
+    TextureRegistry/atlas path as decoded files."""
+    ij = np.arange(size)
+    cell = (ij * tiles // size)[:, None] + (ij * tiles // size)[None, :]
+    mask = (cell % 2).astype(bool)
+    img = np.where(mask[..., None], np.uint8(c1), np.uint8(c0))
+    return img.astype(np.uint8)
+
+
+def material_demo_scene(textured: bool = True) -> Scene:
     """Few-hundred-triangle scene exercising dielectric + metallic +
-    transparent materials with NEE (BASELINE.json configs[1])."""
+    transparent materials with NEE (BASELINE.json configs[1]).
+
+    With `textured` (the default, and what bench.py measures) the floor
+    carries a checkerboard through the full texture path -- .mat-style
+    tex_id -> atlas gather -> albedo/emittance modulation
+    (trace_ray.cuh:31-46 parity) -- so the "textured, adaptive + ACES"
+    benchmark rung exercises texture sampling for real."""
+    from isaklm_raytracer_tpu.scene.texture import TextureRegistry
+
     b = SceneBuilder()
     ior = 1.25
+    registry = TextureRegistry()
+    floor_tex = registry.add_array(checker_texture()) if textured else -1
+    floor = b.add_material(
+        albedo=(0.73, 0.73, 0.73), roughness=0.3, ior=ior, tex_id=floor_tex
+    )
     white = b.add_material(albedo=(0.73, 0.73, 0.73), roughness=0.3, ior=ior)
     gold = b.add_material(
         albedo=(0.97, 0.74, 0.33), roughness=0.05, ior=0.27732, extinction=2.9278
@@ -161,7 +190,7 @@ def material_demo_scene() -> Scene:
     )
 
     lo, hi = -2.0, 2.0
-    b.add_quad((lo, 0, lo), (hi, 0, lo), (hi, 0, hi), (lo, 0, hi), white)  # floor
+    b.add_quad((lo, 0, lo), (hi, 0, lo), (hi, 0, hi), (lo, 0, hi), floor, uv=True)
     b.add_quad((lo, 3, hi), (hi, 3, hi), (hi, 3, lo), (lo, 3, lo), white)  # ceiling
     b.add_quad((lo, 0, hi), (hi, 0, hi), (hi, 3, hi), (lo, 3, hi), white)  # back
     s = 0.6
@@ -170,7 +199,7 @@ def material_demo_scene() -> Scene:
     _add_icosphere(b, center=(-1.0, 0.6, 0.6), radius=0.6, mat=gold, subdiv=2)
     _add_icosphere(b, center=(0.9, 0.55, 0.0), radius=0.55, mat=glass, subdiv=2)
     _add_box(b, center=(0.0, 0.3, 1.2), size=(0.6, 0.6, 0.6), mat=white)
-    return b.build()
+    return b.build(textures=registry.build() if textured else None)
 
 
 def _add_icosphere(b: SceneBuilder, center, radius, mat: int, subdiv: int = 1):
@@ -211,6 +240,37 @@ def _add_icosphere(b: SceneBuilder, center, radius, mat: int, subdiv: int = 1):
             n2=b_,
             n3=c,
         )
+
+
+def glass_box_scene(subdiv: int = 2) -> Scene:
+    """Cornell-style box dominated by a large transparent sphere -- the
+    worst case for a bounded bounce loop: inside the glass the specular
+    weight is forced to 1 (path_tracing.cuh:194) and throughput stays
+    ~0.995 per bounce, so Russian roulette kills slowly and deep chains
+    carry real energy. Used to QUANTIFY the max_bounces truncation bias
+    (the reference loop is unbounded, path_tracing.cuh:279-319)."""
+    b = SceneBuilder()
+    ior = 1.25
+    white = b.add_material(albedo=(0.73, 0.73, 0.73), roughness=0.3, ior=ior)
+    glass = b.add_material(
+        albedo=(0.995, 0.995, 0.995), roughness=0.001, ior=1.51, transparent=1.0
+    )
+    light = b.add_material(
+        albedo=(0.78, 0.78, 0.78), emittance=(15.0, 15.0, 15.0),
+        roughness=0.3, ior=ior,
+    )
+    lo, hi = -1.0, 1.0
+    b.add_quad((lo, lo, lo), (hi, lo, lo), (hi, lo, hi), (lo, lo, hi), white)
+    b.add_quad((lo, hi, hi), (hi, hi, hi), (hi, hi, lo), (lo, hi, lo), white)
+    b.add_quad((lo, lo, hi), (hi, lo, hi), (hi, hi, hi), (lo, hi, hi), white)
+    b.add_quad((lo, lo, lo), (lo, lo, hi), (lo, hi, hi), (lo, hi, lo), white)
+    b.add_quad((hi, lo, hi), (hi, lo, lo), (hi, hi, lo), (hi, hi, hi), white)
+    s = 0.4
+    y = hi - 1e-3
+    b.add_quad((-s, y, s), (s, y, s), (s, y, -s), (-s, y, -s), light)
+    _add_icosphere(b, center=(0.0, -0.3, 0.2), radius=0.55, mat=glass,
+                   subdiv=subdiv)
+    return b.build()
 
 
 def triangle_soup(

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--hero", action="store_true", help="use the procedural hero scene instead of a soup")
     ap.add_argument("--coherent", action="store_true", help="camera-like coherent beam instead of random rays")
+    ap.add_argument("--packet", type=int, default=256, help="rays per packet")
     args = ap.parse_args()
 
     from isaklm_raytracer_tpu.accel.cluster import build_cluster_bvh, morton_order
@@ -53,9 +54,12 @@ def main():
     print(f"tris={verts.shape[0]} clusters={cbvh.num_clusters} "
           f"octs={cbvh.oct_bbox.shape[0]} table={cbvh.vmem_bytes/1e6:.1f}MB")
 
-    kern = (nearest_hit_cluster if cbvh.vmem_bytes <= VMEM_TABLE_LIMIT
+    import functools
+
+    base = (nearest_hit_cluster if cbvh.vmem_bytes <= VMEM_TABLE_LIMIT
             else nearest_hit_cluster_hbm)
-    print("kernel:", kern.__name__)
+    kern = functools.partial(base, packet=args.packet)
+    print("kernel:", base.__name__, "packet:", args.packet)
 
     rng = np.random.default_rng(1)
     if args.coherent:
@@ -94,6 +98,31 @@ def main():
         jax.block_until_ready(kern(cbvh, o, d))
     dt = (time.perf_counter() - t0) / args.steps
     print(f"raw kernel: {args.rays / dt / 1e6:.2f} M rays/s  ({dt*1e3:.1f} ms for {args.rays} rays)")
+
+    if base is nearest_hit_cluster_hbm:
+        # Exact work accounting -> roofline (BASELINE.md): per-packet oct
+        # visits (64KB DMA each) and dense cluster intersections (256x128
+        # ray-tri tests, ~60 VPU f32 ops each).
+        *_, st = nearest_hit_cluster_hbm(cbvh, o, d, stats=True, packet=args.packet)
+        st = np.asarray(st)
+        visits, clus = st[:, 0], st[:, 1]
+        packets = st.shape[0]
+        packet_sz = args.rays // packets if packets else 0
+        dma_bytes = float(visits.sum()) * (8 * 16 * 128 * 4)
+        tri_tests = float(clus.sum()) * packet_sz * 128
+        flops = tri_tests * 60.0
+        print(
+            f"stats: packets={packets} oct visits/packet "
+            f"mean={visits.mean():.1f} p95={np.percentile(visits, 95):.0f} "
+            f"max={visits.max()}; clusters intersected/packet "
+            f"mean={clus.mean():.1f}"
+        )
+        print(
+            f"roofline: DMA {dma_bytes / dt / 1e9:.1f} GB/s "
+            f"(v5e peak ~819), ray-tri tests {tri_tests / dt / 1e9:.2f} G/s, "
+            f"VPU ~{flops / dt / 1e12:.2f} TFLOP/s f32 (v5e VPU peak ~3.9), "
+            f"per-visit wall {dt / max(visits.sum(), 1) * 1e6:.2f} us"
+        )
 
 
 if __name__ == "__main__":

@@ -142,3 +142,54 @@ def test_cli_scene_manifest(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "triangle count: 1" in res.stderr
     assert os.path.exists(out)
+
+
+# ---------------------------------------------------------------------------
+# terminal preview backend (GLFW-window capability parity, main.cu:114-155)
+# ---------------------------------------------------------------------------
+
+
+def test_render_ansi_exact():
+    from isaklm_raytracer_tpu.cli.preview import render_ansi
+
+    img = np.array(
+        [[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+         [[0.0, 0.0, 1.0], [1.0, 1.0, 1.0]]],
+        np.float32,
+    )
+    got = render_ansi(img, max_cols=2, max_rows=1)
+    # one text row: fg = top pixels, bg = bottom pixels
+    assert got == (
+        "\x1b[38;2;255;0;0m\x1b[48;2;0;0;255m▀"
+        "\x1b[38;2;0;255;0m\x1b[48;2;255;255;255m▀"
+        "\x1b[0m"
+    )
+
+
+def test_downsample_box_average():
+    from isaklm_raytracer_tpu.cli.preview import downsample
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:2, :2] = 1.0  # top-left quadrant white
+    out = downsample(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    np.testing.assert_allclose(out[0, 0], 1.0)
+    np.testing.assert_allclose(out[0, 1], 0.0)
+    np.testing.assert_allclose(out[1, 1], 0.0)
+
+
+def test_preview_loop_headless():
+    import io
+
+    from isaklm_raytracer_tpu.cli.preview import run_preview
+
+    scene = cornell_box(include_blockers=False)
+    camera = Camera.create((0.0, 0.0, -0.9), fov=jnp.pi / 2)
+    sess = InteractiveSession(scene, camera, CONFIG, adaptive=False)
+    buf = io.StringIO()
+    img = run_preview(sess, max_samples=2, out=buf, interactive=False)
+    text = buf.getvalue()
+    assert "▀" in text  # half-block frames were drawn
+    assert "sample 2/2" in text
+    assert sess.sample_count == 2
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
