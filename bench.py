@@ -93,9 +93,9 @@ def verify_kernel(scene, config, num_rays: int, log) -> dict:
     h_k, h_b = np.asarray(h_k), np.asarray(h_b)
     t_k, t_b = np.asarray(t_k), np.asarray(t_b)
     hit_mism = int((h_k != h_b).sum())
-    both = h_k & h_b
+    both = h_k & h_b  # filter before subtracting: misses carry t=inf
     rel_dt = (
-        float((np.abs(t_k - t_b)[both] / np.maximum(t_b[both], 1e-3)).max())
+        float((np.abs(t_k[both] - t_b[both]) / np.maximum(t_b[both], 1e-3)).max())
         if both.any()
         else 0.0
     )

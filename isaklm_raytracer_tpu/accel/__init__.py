@@ -7,6 +7,7 @@ from isaklm_raytracer_tpu.accel.kdtree import build_kd_tree
 from isaklm_raytracer_tpu.accel.cluster import (
     ClusterBVH,
     build_cluster_bvh,
+    cluster_order,
     morton_order,
 )
 from isaklm_raytracer_tpu.accel.wavefront import (
@@ -23,10 +24,12 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
                   leaf_width: int = 8, build_kd: bool | None = None):
     """Build every acceleration structure for a Scene.
 
-    1. Morton-renumbers the triangles (accel.cluster.morton_order) so the
-       Pallas cluster kernel can reconstruct triangle ids as c*128 + lane;
-       all per-triangle arrays and the light list are permuted consistently,
-       so ids stay coherent across the whole framework.
+    1. Renumbers the triangles spatially (accel.cluster.cluster_order:
+       median-split partition — measured ~20% faster than Morton slices at
+       hero scale, scripts/hero_sweep.py) so the Pallas cluster kernel can
+       reconstruct triangle ids as c*128 + lane; all per-triangle arrays
+       and the light list are permuted consistently, so ids stay coherent
+       across the whole framework.
     2. Builds the cluster BVH (Pallas packet kernel, the production TPU
        intersector).
     3. Builds the KD tree + batched lockstep traversal layout (the pure-XLA
@@ -39,7 +42,7 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     import numpy as np
 
     verts = np.asarray(scene.vertices)
-    order = morton_order(verts)
+    order = cluster_order(verts)
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
 
@@ -82,6 +85,7 @@ __all__ = [
     "build_cluster_bvh",
     "build_kd_tree",
     "build_wavefront_kd",
+    "cluster_order",
     "hit_attributes",
     "morton_order",
     "nearest_hit_brute",

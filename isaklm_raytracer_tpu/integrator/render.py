@@ -41,6 +41,10 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
             nearest_hit_cluster_hbm,
         )
 
+        # Packet stays at 256 for the integrator: 512 wins ~9% on a raw
+        # coherent beam (scripts/hero_sweep.py) but deep-bounce ray
+        # populations are incoherent even after the Morton resort, and a
+        # bigger packet unions more boxes per visit there.
         kernel = (
             nearest_hit_cluster
             if scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT

@@ -24,11 +24,12 @@ Two variants share all the maths:
     ~100K triangles.
   - `nearest_hit_cluster_hbm` (HBM + DMA): the table stays in HBM; the
     queue is over OCTS (8-cluster, 64KB blocks) whose constants are DMA'd
-    into a DOUBLE-BUFFERED VMEM scratch -- the next candidate's block is
-    prefetched while the current one is intersected, so HBM latency hides
-    behind VPU work. Per-cluster slab culling from the landed block's
-    embedded bbox row. Scales to the 2M-triangle hero scene
-    (README.md:12) whose table is ~128 MB.
+    into a 4-slot VMEM ring -- each loop iteration retires a PAIR of octs
+    while prefetching the next pair, so HBM latency hides behind VPU work
+    and the per-iteration loop overhead (the measured bottleneck, see
+    BASELINE.md roofline) is amortized over two visits. Per-cluster slab
+    culling from the landed block's embedded bbox row. Scales to the
+    2M-triangle hero scene (README.md:12) whose table is ~128 MB.
 
 Design rules that make this fast on the VPU:
   - NO per-ray gathers or scatters anywhere: triangle constants stream in
@@ -304,6 +305,7 @@ def _hbm_kernel(
     *rest,  # [out_stats_ref if stats] + scratch refs
     t_eps: float,
     stats: bool = False,
+    oct_branch: int = OCT_BRANCH,
 ):
     if stats:
         out_stats_ref, *rest = rest
@@ -322,31 +324,14 @@ def _hbm_kernel(
 
     def oct_dma(slot, o_idx):
         return pltpu.make_async_copy(
-            tri_ref.at[pl.ds(o_idx * OCT_BRANCH, OCT_BRANCH)],
+            tri_ref.at[pl.ds(o_idx * oct_branch, oct_branch)],
             buf_ref.at[slot],
             sems.at[slot],
         )
 
-    m0, i0 = extract()
-
-    @pl.when(m0 < _CUT)
-    def _():
-        oct_dma(jnp.int32(0), i0).start()
-
-    def cond(c):
-        m, _i, _slot, tmax, _nv, _nc = c
-        return (m < _CUT) & (m <= tmax)
-
-    def body(c):
-        _m, i, slot, tmax, n_visit, n_clu = c
-        m2, i2 = extract()
-
-        # Prefetch the NEXT candidate's block while intersecting this one.
-        @pl.when(m2 < _CUT)
-        def _():
-            oct_dma(1 - slot, i2).start()
-
-        oct_dma(slot, i).wait()
+    def visit(slot, oct_i, tmax, n_clu):
+        """Wait the oct's landed block and intersect its clusters."""
+        oct_dma(slot, oct_i).wait()
 
         def clu_body(k, n):
             box6 = (
@@ -358,26 +343,80 @@ def _hbm_kernel(
 
             @pl.when(pierced)
             def _():
-                intersect(buf_ref[slot, k], i * OCT_BRANCH + k)
+                intersect(buf_ref[slot, k], oct_i * oct_branch + k)
 
             return n + pierced.astype(jnp.int32)
 
-        n_clu = jax.lax.fori_loop(0, OCT_BRANCH, clu_body, n_clu)
-        return (m2, i2, 1 - slot, _packet_tmax(best_t_ref, act, far_bound),
-                n_visit + 1, n_clu)
+        return jax.lax.fori_loop(0, oct_branch, clu_body, n_clu)
 
-    m_f, i_f, slot_f, _tm, n_visit, n_clu = jax.lax.while_loop(
+    # PAIR-VISIT pipeline over a 4-slot DMA ring: each loop iteration
+    # retires TWO octs and prefetches the next two. The sweep-fit cost
+    # model (scripts/hero_sweep.py, BASELINE.md roofline) shows ~5 us of
+    # PER-ITERATION overhead (extract-min + tmax reduction + Mosaic loop
+    # turnaround) against ~1 us of actual intersection math, so halving
+    # the iteration count is worth more than any FLOP saving. The second
+    # oct of a pair skips the early-exit re-check (its DMA is already in
+    # flight and must be waited anyway); that costs at most one extra oct
+    # visit per packet on the final iteration.
+    m0, i0 = extract()
+    m1, i1 = extract()
+
+    @pl.when(m0 < _CUT)
+    def _():
+        oct_dma(jnp.int32(0), i0).start()
+
+    @pl.when(m1 < _CUT)
+    def _():
+        oct_dma(jnp.int32(1), i1).start()
+
+    def cond(c):
+        m_a, _ia, _mb, _ib, _base, tmax, _nv, _nc = c
+        return (m_a < _CUT) & (m_a <= tmax)
+
+    def body(c):
+        m_a, i_a, m_b, i_b, base, tmax, n_visit, n_clu = c
+        m2, i2 = extract()
+        m3, i3 = extract()
+
+        # Prefetch the next pair into the two slots retired LAST iteration
+        # (their reads completed in program order -- no write hazard).
+        @pl.when(m2 < _CUT)
+        def _():
+            oct_dma((base + 2) & 3, i2).start()
+
+        @pl.when(m3 < _CUT)
+        def _():
+            oct_dma((base + 3) & 3, i3).start()
+
+        n_clu = visit(base, i_a, tmax, n_clu)
+        n_visit = n_visit + 1
+
+        def do_b(args):
+            nv, nc = args
+            return nv + 1, visit((base + 1) & 3, i_b, tmax, nc)
+
+        n_visit, n_clu = jax.lax.cond(
+            m_b < _CUT, do_b, lambda args: args, (n_visit, n_clu)
+        )
+        return ((m2, i2, m3, i3, (base + 2) & 3,
+                 _packet_tmax(best_t_ref, act, far_bound), n_visit, n_clu))
+
+    m_fa, i_fa, m_fb, i_fb, base_f, _tm, n_visit, n_clu = jax.lax.while_loop(
         cond, body,
-        (m0, i0, jnp.int32(0), _packet_tmax(best_t_ref, act, far_bound),
+        (m0, i0, m1, i1, jnp.int32(0),
+         _packet_tmax(best_t_ref, act, far_bound),
          jnp.int32(0), jnp.int32(0)),
     )
 
-    # Drain: when the loop exits on the early-out (m_f <= tmax failed but
-    # m_f < _CUT), the last extracted candidate's prefetch is still in
-    # flight; a started DMA must be waited before the kernel returns.
-    @pl.when(m_f < _CUT)
+    # Drain: the final pair's DMAs (started last iteration or pre-loop)
+    # were never waited; a started DMA must complete before kernel return.
+    @pl.when(m_fa < _CUT)
     def _():
-        oct_dma(slot_f, i_f).wait()
+        oct_dma(base_f, i_fa).wait()
+
+    @pl.when(m_fb < _CUT)
+    def _():
+        oct_dma((base_f + 1) & 3, i_fb).wait()
 
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
     if stats:
@@ -548,7 +587,8 @@ def nearest_hit_cluster(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats")
+    jax.jit,
+    static_argnames=("t_eps", "packet", "interpret", "stats", "oct_branch"),
 )
 def nearest_hit_cluster_hbm(
     cbvh: ClusterBVH,
@@ -559,6 +599,7 @@ def nearest_hit_cluster_hbm(
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
     stats: bool = False,
+    oct_branch: int = OCT_BRANCH,
 ):
     """Batched nearest hit via the HBM+DMA Pallas packet kernel (big scenes:
     the triangle table stays in HBM; 64KB oct blocks are DMA'd on demand).
@@ -585,7 +626,9 @@ def nearest_hit_cluster_hbm(
         )
 
     out = pl.pallas_call(
-        functools.partial(_hbm_kernel, t_eps=t_eps, stats=stats),
+        functools.partial(
+            _hbm_kernel, t_eps=t_eps, stats=stats, oct_branch=oct_branch
+        ),
         grid=(num_packets,),
         in_specs=[
             pl.BlockSpec(
@@ -601,8 +644,8 @@ def nearest_hit_cluster_hbm(
             pltpu.VMEM((packet, 128), jnp.float32),
             pltpu.VMEM((packet, 128), jnp.int32),
             pltpu.VMEM((1, cbvh.oct_bbox_t.shape[1]), jnp.float32),
-            pltpu.VMEM((2, OCT_BRANCH, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, oct_branch, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(cbvh.oct_bbox_t, cbvh.tri_const, rays, rays_t)

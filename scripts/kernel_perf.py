@@ -8,7 +8,12 @@ the raw kernel (no integrator) to isolate intersector throughput.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+# Runnable as `python scripts/kernel_perf.py` from the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +38,7 @@ def main():
     ap.add_argument("--packet", type=int, default=256, help="rays per packet")
     args = ap.parse_args()
 
-    from isaklm_raytracer_tpu.accel.cluster import build_cluster_bvh, morton_order
+    from isaklm_raytracer_tpu.accel.cluster import build_cluster_bvh, cluster_order
     from isaklm_raytracer_tpu.accel.traverse import nearest_hit_brute
     from isaklm_raytracer_tpu.kernels.intersect import (
         VMEM_TABLE_LIMIT,
@@ -48,7 +53,7 @@ def main():
         verts = np.asarray(scene.vertices)
     else:
         verts = soup(args.tris)
-    order = morton_order(verts)
+    order = cluster_order(verts)
     verts = verts[order]
     cbvh = build_cluster_bvh(verts)
     print(f"tris={verts.shape[0]} clusters={cbvh.num_clusters} "
