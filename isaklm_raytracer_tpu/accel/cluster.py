@@ -2,8 +2,10 @@
 
 Instead of translating the reference's per-ray stackful KD walk
 (trace_ray.cuh:244-318) -- whose per-ray gathers/scatters are latency-bound
-on vector hardware -- triangles are sorted by the Morton code of their
-centroid and packed into fixed-width CLUSTERS of 128 (one VPU lane each),
+on vector hardware -- triangles are spatially renumbered (any permutation
+works; production uses `cluster_order` median splits, `morton_order` is the
+simpler alternative) and packed into fixed-width CLUSTERS of 128 (one VPU
+lane each),
 grouped into SUPERCLUSTERS of 64 clusters. Each cluster stores a compact
 (16, 128) f32 constant block (one padded VREG tile) holding everything the
 intersection test needs, precomputed:
@@ -43,10 +45,12 @@ SUP_BRANCH = 64  # clusters per supercluster
 class ClusterBVH:
     """Two-level cluster hierarchy consumed by kernels/intersect.py.
 
-    Built for a scene whose triangles are ALREADY in Morton order (see
-    `morton_order` + accel.prepare_scene): cluster c holds exactly triangles
-    [c*128, (c+1)*128), so the kernel reconstructs global triangle ids as
-    c*128 + lane with no id table and no gathers.
+    Built for a scene whose triangles are ALREADY spatially renumbered
+    (`cluster_order` in production, `morton_order` also valid -- the real
+    invariant is just that the SAME permutation is applied to every
+    per-triangle scene array, see accel.prepare_scene): cluster c holds
+    exactly triangles [c*128, (c+1)*128), so the kernel reconstructs global
+    triangle ids as c*128 + lane with no id table and no gathers.
     """
 
     sup_bbox: jnp.ndarray  # (S, 8) f32: min xyz, max xyz, pad pad
@@ -61,6 +65,16 @@ class ClusterBVH:
     oct_bbox_t: jnp.ndarray = None  # (8, ceil(C/8 -> 128-pad)) f32
     clu_bbox_t: jnp.ndarray = None  # (8, 128-pad of C) f32
     num_triangles: int = struct.field(pytree_node=False, default=0)
+    # BLOCKED layout for the v3 HBM kernel (kernels/intersect.py
+    # nearest_hit_cluster_blk): per DMA block, one (16, 128) HEADER tile
+    # (rows 0-5 = component-major cluster bboxes, lane k = cluster k of the
+    # block; row 6 = cluster validity) followed by the block's `blk_branch`
+    # cluster constant tiles. The header lets the kernel cull a whole
+    # block's clusters in ONE dense VPU pass instead of 6 scalar loads per
+    # cluster. Built on demand by `with_blocks`.
+    blk_const: jnp.ndarray = None  # (NB, blk_branch + 1, 16, 128) f32
+    blk_bbox_t: jnp.ndarray = None  # (8, 128-pad of NB) f32
+    blk_branch: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -159,6 +173,51 @@ def with_oct_branch(cbvh: ClusterBVH, branch: int) -> ClusterBVH:
     )
 
 
+def _build_blocks_np(tri_const: np.ndarray, clu_bbox: np.ndarray, branch: int):
+    """Numpy core of the blocked HBM layout (see ClusterBVH.blk_const)."""
+    assert branch <= CLUSTER_WIDTH
+    num_clusters = clu_bbox.shape[0]
+    assert num_clusters % branch == 0, (num_clusters, branch)
+    num_blk = num_clusters // branch
+    has_any = clu_bbox[:, 0] <= clu_bbox[:, 3]
+
+    blk = np.zeros((num_blk, branch + 1, 16, CLUSTER_WIDTH), np.float32)
+    hdr_box = clu_bbox.reshape(num_blk, branch, 8)
+    blk[:, 0, 0:6, :branch] = np.moveaxis(hdr_box[:, :, 0:6], 1, 2)
+    blk[:, 0, 6, :branch] = has_any.reshape(num_blk, branch).astype(np.float32)
+    blk[:, 1:] = tri_const.reshape(num_blk, branch, 16, CLUSTER_WIDTH)
+
+    blk_bbox = np.zeros((num_blk, 8), np.float32)
+    blk_bbox[:, 0:3] = np.where(
+        has_any.reshape(num_blk, branch, 1), hdr_box[:, :, 0:3], 3e38
+    ).min(axis=1)
+    blk_bbox[:, 3:6] = np.where(
+        has_any.reshape(num_blk, branch, 1), hdr_box[:, :, 3:6], -3e38
+    ).max(axis=1)
+    blk_valid = has_any.reshape(num_blk, branch).any(axis=1)
+    return blk, _bbox_t(blk_bbox, blk_valid)
+
+
+def with_blocks(cbvh: ClusterBVH, branch: int = 32) -> ClusterBVH:
+    """Attach the blocked HBM layout (see ClusterBVH.blk_const): groups of
+    `branch` consecutive clusters, each prefixed by a header tile carrying
+    the component-major cluster bboxes, so the v3 kernel culls a landed
+    block's clusters vectorized. `branch` <= 128 (header lanes) and must
+    divide the (SUP_BRANCH-padded) cluster count.
+
+    NOTE: reads tri_const back to host -- at hero scale prefer
+    build_cluster_bvh(verts, blk_branch=...) which builds the blocks from
+    the numpy intermediates before anything touches the device."""
+    blk, blk_bbox_t = _build_blocks_np(
+        np.asarray(cbvh.tri_const), np.asarray(cbvh.clu_bbox), branch
+    )
+    return cbvh.replace(
+        blk_const=jnp.asarray(blk),
+        blk_bbox_t=jnp.asarray(blk_bbox_t),
+        blk_branch=branch,
+    )
+
+
 def _bbox_t(bbox: np.ndarray, valid: np.ndarray) -> np.ndarray:
     """Component-major 128-padded box table (see ClusterBVH.oct_bbox_t)."""
     n = bbox.shape[0]
@@ -169,11 +228,15 @@ def _bbox_t(bbox: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
-    """Host-side build over ALREADY Morton-ordered triangles.
+def build_cluster_bvh(
+    vertices: np.ndarray, blk_branch: int | None = None
+) -> ClusterBVH:
+    """Host-side build over ALREADY spatially renumbered triangles.
 
-    vertices: (T, 3, 3) float32 triangle vertex positions (in the order
-    produced by `morton_order`; cluster c = triangles [c*128, (c+1)*128)).
+    vertices: (T, 3, 3) float32 triangle vertex positions, in the order
+    produced by `cluster_order` (or `morton_order`); cluster c = triangles
+    [c*128, (c+1)*128). `blk_branch` additionally builds the blocked HBM
+    layout (v3 kernel) from the numpy intermediates.
     """
     vertices = np.asarray(vertices, np.float32)
     num_tris = vertices.shape[0]
@@ -241,6 +304,10 @@ def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
 
     oct_valid = has_any.reshape(num_oct, OCT_BRANCH).any(axis=1)
 
+    blk = blk_bbox_t = None
+    if blk_branch is not None:
+        blk, blk_bbox_t = _build_blocks_np(tri_const, clu_bbox, blk_branch)
+
     return ClusterBVH(
         sup_bbox=jnp.asarray(sup_bbox),
         oct_bbox=jnp.asarray(oct_bbox),
@@ -249,4 +316,7 @@ def build_cluster_bvh(vertices: np.ndarray) -> ClusterBVH:
         oct_bbox_t=jnp.asarray(_bbox_t(oct_bbox, oct_valid)),
         clu_bbox_t=jnp.asarray(_bbox_t(clu_bbox, has_any)),
         num_triangles=num_tris,
+        blk_const=None if blk is None else jnp.asarray(blk),
+        blk_bbox_t=None if blk_bbox_t is None else jnp.asarray(blk_bbox_t),
+        blk_branch=0 if blk_branch is None else blk_branch,
     )

@@ -30,7 +30,7 @@ _RESET = "\x1b[0m"
 # Terminal byte(s) -> reference key names (camera.cuh:38-98 bindings).
 _KEYMAP = {
     b"w": "w", b"a": "a", b"s": "s", b"d": "d",
-    b" ": "space", b"z": "left_shift",
+    b" ": "space", b"z": "shift",  # z = move down (GLFW_KEY_LEFT_SHIFT, camera.cuh:64-69)
     b"\x1b[A": "up", b"\x1b[B": "down", b"\x1b[C": "right", b"\x1b[D": "left",
 }
 

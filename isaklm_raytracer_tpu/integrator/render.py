@@ -36,8 +36,11 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     # through to the pure-XLA wavefront path that works everywhere.
     if scene.cbvh is not None and backend == "tpu":
         from isaklm_raytracer_tpu.kernels.intersect import (
+            FLAT_CLUSTER_LIMIT,
             VMEM_TABLE_LIMIT,
             nearest_hit_cluster,
+            nearest_hit_cluster_blk,
+            nearest_hit_cluster_flat,
             nearest_hit_cluster_hbm,
         )
 
@@ -45,11 +48,15 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
         # coherent beam (scripts/hero_sweep.py) but deep-bounce ray
         # populations are incoherent even after the Morton resort, and a
         # bigger packet unions more boxes per visit there.
-        kernel = (
-            nearest_hit_cluster
-            if scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT
-            else nearest_hit_cluster_hbm
-        )
+        real_c = max(1, -(-scene.cbvh.num_triangles // 128))
+        if real_c <= FLAT_CLUSTER_LIMIT:
+            kernel = nearest_hit_cluster_flat
+        elif scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
+            kernel = nearest_hit_cluster
+        elif scene.cbvh.blk_const is not None:
+            kernel = nearest_hit_cluster_blk
+        else:
+            kernel = nearest_hit_cluster_hbm
         return functools.partial(kernel, scene.cbvh, t_eps=config.t_epsilon)
     if scene.wkd is not None:
         from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront

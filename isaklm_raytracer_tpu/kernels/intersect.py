@@ -40,8 +40,9 @@ Design rules that make this fast on the VPU:
     nearest hit lives in two (B, 128) VMEM scratch refs holding PER-LANE
     minima (lane = tri slot), updated with an elementwise min per visit;
     the cross-lane argmin happens once per packet after the loop;
-  - triangle ids are c*128 + lane -- the scene is Morton-renumbered at
-    build time (accel.cluster.morton_order), so no id table exists at all.
+  - triangle ids are c*128 + lane -- the scene is spatially renumbered at
+    build time (accel.cluster.cluster_order median splits in production;
+    morton_order is also valid), so no id table exists at all.
 
 Correctness does not depend on traversal order: the cluster build is a
 partition (no straddler duplicates, unlike create_kd_tree.cuh:176-218), so
@@ -62,12 +63,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isaklm_raytracer_tpu.accel.cluster import OCT_BRANCH, ClusterBVH
+from isaklm_raytracer_tpu.accel.cluster import OCT_BRANCH, ClusterBVH, with_blocks
 
 DEFAULT_PACKET = 256
 # VMEM budget for the resident-table kernel; beyond this the HBM+DMA
 # variant is used (make_trace_fn picks automatically).
 VMEM_TABLE_LIMIT = 6 * 1024 * 1024
+# At or below this many REAL clusters the flat unconditional kernel beats
+# the priority-queue kernel (its per-iteration overhead exceeds the saved
+# intersections; see _flat_kernel).
+FLAT_CLUSTER_LIMIT = 16
 _INF = 3.4e38  # python scalars: jnp constants can't be captured by kernels
 _BIG_ID = 2**31 - 1
 
@@ -426,6 +431,200 @@ def _hbm_kernel(
         )
 
 
+def _flat_kernel(
+    tri_ref,  # VMEM (C, 16, 128)
+    rays_ref,  # VMEM (B, 8)
+    rayt_ref,  # VMEM (1, 8, 8, B/8) (unused; shared ray prep layout)
+    out_t_ref,  # VMEM (B, 8)
+    out_id_ref,  # VMEM (B, 8) int32
+    best_t_ref,  # VMEM scratch (B, 128)
+    best_id_ref,  # VMEM scratch (B, 128) int32
+    *,
+    t_eps: float,
+):
+    """Tiny-scene fast path: intersect EVERY cluster unconditionally.
+
+    For tables of a few clusters the priority-queue machinery (dense cull,
+    extract-min, per-iteration packet-tmax reduction, Mosaic while_loop
+    turnaround) costs more than just running the ~40-FMA intersection over
+    all clusters back to back -- a fully unrolled straight-line vector
+    program. Crossover measured vs the queue kernel at ~16 clusters
+    (scripts/kernel_perf.py); make_trace_fn picks this variant below
+    FLAT_CLUSTER_LIMIT."""
+    batch = rays_ref.shape[0]
+    cols = _ray_columns(rays_ref)
+    act = cols[6]
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    _init_best(batch, best_t_ref, best_id_ref)
+    intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
+
+    # All-inactive packets (compaction padding tail) skip the math entirely.
+    @pl.when(jnp.any(act))
+    def _():
+        for c in range(tri_ref.shape[0]):  # static unroll
+            intersect(tri_ref[c], c)
+
+    _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+
+
+def _blk_kernel(
+    blk_bbox_t_ref,  # VMEM (8, NBp): component-major block boxes + valid row
+    blk_ref,  # ANY/HBM (NB, branch + 1, 16, 128): header + cluster tiles
+    rays_ref,  # VMEM (B, 8)
+    rayt_ref,  # VMEM (1, 8, 8, B/8)
+    out_t_ref,  # VMEM (B, 8)
+    out_id_ref,  # VMEM (B, 8) int32
+    *rest,  # [out_stats_ref if stats] + scratch refs
+    t_eps: float,
+    stats: bool = False,
+    branch: int = 32,
+):
+    """v3 big-scene kernel: QUAD-visit DMA pipeline over BLOCKED clusters.
+
+    Differences vs `_hbm_kernel` (the v2 oct kernel), driven by the round-3
+    roofline (BASELINE.md: 7.4 us wall per 8-cluster visit vs ~2 us of
+    intersection math -- fixed per-visit/per-iteration cost dominates):
+
+      1. DMA unit = a BLOCK of `branch` (16/32/64) clusters, so the queue
+         has NB = C/branch entries and a packet retires the same geometry
+         in ~branch/8 x fewer visits;
+      2. each landed block's clusters are culled in ONE dense VPU pass
+         against a HEADER tile embedded in the block (cluster boxes
+         component-major over lanes) -- replacing 6 scalar VMEM loads +
+         a scalar slab test per cluster;
+      3. each while_loop iteration retires FOUR blocks over an 8-slot DMA
+         ring, amortizing extract-min + packet-tmax + loop turnaround 4x.
+
+    Visits b/c/d of a quad skip the early-exit re-check (their DMAs are in
+    flight and must be waited anyway): at most 3 extra block visits per
+    packet on the final iteration."""
+    if stats:
+        out_stats_ref, *rest = rest
+    (best_t_ref, best_id_ref, near_ref, mask_ref, buf_ref, sems) = rest
+    batch = rays_ref.shape[0]
+    cols = _ray_columns(rays_ref)
+    act = cols[6]
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    _init_best(batch, best_t_ref, best_id_ref)
+    intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
+
+    ox, oy, oz, dx, dy, dz, _ = cols
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    keys, far_bound = _dense_near(blk_bbox_t_ref, rays_ref, t_eps)
+    near_ref[0:1, :] = keys
+    extract = _make_extract(near_ref)
+
+    def dma(slot, blk_i):
+        return pltpu.make_async_copy(
+            blk_ref.at[blk_i], buf_ref.at[slot], sems.at[slot]
+        )
+
+    def visit(slot, blk_i, tmax, n_clu):
+        """Wait the block, cull its clusters vectorized, intersect hits."""
+        dma(slot, blk_i).wait()
+        hdr = buf_ref[slot, 0]  # (16, 128)
+        bx0, by0, bz0 = hdr[0:1, :], hdr[1:2, :], hdr[2:3, :]
+        bx1, by1, bz1 = hdr[3:4, :], hdr[4:5, :], hdr[5:6, :]
+        valid = hdr[6:7, :] > 0.0
+        t1x, t2x = (bx0 - ox) * ix, (bx1 - ox) * ix  # (B, 128)
+        t1y, t2y = (by0 - oy) * iy, (by1 - oy) * iy
+        t1z, t2z = (bz0 - oz) * iz, (bz1 - oz) * iz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        # NaN-conservative: comparisons false on NaN -> lane counts as hit.
+        miss = (near > far) | (far < t_eps) | (near > tmax)
+        pierce = (~miss) & act & valid  # (B, 128)
+        mask_ref[0:1, :] = jnp.any(pierce, axis=0, keepdims=True).astype(
+            jnp.float32
+        )
+
+        def clu_body(k, n):
+            hit_any = mask_ref[0, k] > 0.0
+
+            @pl.when(hit_any)
+            def _():
+                intersect(buf_ref[slot, 1 + k], blk_i * branch + k)
+
+            return n + hit_any.astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, branch, clu_body, n_clu)
+
+    m0, i0 = extract()
+    m1, i1 = extract()
+    m2, i2 = extract()
+    m3, i3 = extract()
+    for slot, (m, i) in enumerate(((m0, i0), (m1, i1), (m2, i2), (m3, i3))):
+        @pl.when(m < _CUT)
+        def _(slot=slot, i=i):
+            dma(jnp.int32(slot), i).start()
+
+    def cond(c):
+        quad, _base, tmax, _nv, _nc = c
+        return (quad[0][0] < _CUT) & (quad[0][0] <= tmax)
+
+    def body(c):
+        quad, base, tmax, n_visit, n_clu = c
+        nxt = []
+        for j in range(4):
+            m_n, i_n = extract()
+            nxt.append((m_n, i_n))
+
+            @pl.when(m_n < _CUT)
+            def _(j=j, i_n=i_n):
+                dma((base + 4 + j) & 7, i_n).start()
+
+        def do_visit(j, args):
+            nv, nc = args
+            return nv + 1, visit((base + j) & 7, quad[j][1], tmax, nc)
+
+        for j in range(4):
+            n_visit, n_clu = jax.lax.cond(
+                quad[j][0] < _CUT,
+                functools.partial(do_visit, j),
+                lambda args: args,
+                (n_visit, n_clu),
+            )
+        return (
+            tuple(nxt),
+            (base + 4) & 7,
+            _packet_tmax(best_t_ref, act, far_bound),
+            n_visit,
+            n_clu,
+        )
+
+    quad_f, base_f, _tm, n_visit, n_clu = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
+            jnp.int32(0),
+            _packet_tmax(best_t_ref, act, far_bound),
+            jnp.int32(0),
+            jnp.int32(0),
+        ),
+    )
+
+    # Drain: the carried quad's DMAs were started but never waited.
+    for j in range(4):
+        @pl.when(quad_f[j][0] < _CUT)
+        def _(j=j):
+            dma((base_f + j) & 7, quad_f[j][1]).wait()
+
+    _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+    if stats:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        out_stats_ref[:] = jnp.where(
+            lane == 0, n_visit, jnp.where(lane == 1, n_clu, 0)
+        )
+
+
 def _spread3_u32(v):
     """Spread the low 10 bits of a uint32 to every 3rd bit (Morton)."""
     v = (v | (v << 16)) & 0x030000FF
@@ -584,6 +783,117 @@ def nearest_hit_cluster(
     )(cbvh.clu_bbox_t, cbvh.tri_const, rays, rays_t)
 
     return _unpack(out_t, out_id, num_rays, perm)
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+def nearest_hit_cluster_flat(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_eps: float = 1e-5,
+    active=None,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+):
+    """Batched nearest hit via the flat unconditional VMEM kernel (tiny
+    scenes, <= FLAT_CLUSTER_LIMIT real clusters). No coherence sort: every
+    packet visits the whole table regardless of ray order, so the argsort
+    would be pure overhead. Same interface/results as nearest_hit_cluster."""
+    # Slice off the SUP_BRANCH padding clusters -- the flat loop visits
+    # everything it is given. num_triangles is a static field.
+    real_c = max(1, -(-cbvh.num_triangles // 128))
+    tri = jax.lax.slice_in_dim(cbvh.tri_const, 0, real_c, axis=0)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(
+        o, d, active, packet, sort_rays=False
+    )
+
+    out_t, out_id = pl.pallas_call(
+        functools.partial(_flat_kernel, t_eps=t_eps),
+        grid=(num_packets,),
+        in_specs=[
+            pl.BlockSpec(
+                (real_c, 16, 128), lambda p: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_ray_specs(packet),
+        ],
+        out_specs=_out_specs(packet),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((packet, 128), jnp.float32),
+            pltpu.VMEM((packet, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tri, rays, rays_t)
+
+    return _unpack(out_t, out_id, num_rays, perm)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats")
+)
+def nearest_hit_cluster_blk(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_eps: float = 1e-5,
+    active=None,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+    stats: bool = False,
+):
+    """Batched nearest hit via the v3 blocked HBM kernel (big scenes).
+
+    Requires `cbvh.blk_const` (accel.cluster.with_blocks). stats=True also
+    returns (num_packets, 2) int32 [block visits, clusters intersected]."""
+    assert cbvh.blk_const is not None, "run accel.cluster.with_blocks first"
+    branch = cbvh.blk_branch
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+        jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+    ]
+    out_specs = _out_specs(packet)
+    if stats:
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_packets * 8, 128), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda p: (p, 0), memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_blk_kernel, t_eps=t_eps, stats=stats, branch=branch),
+        grid=(num_packets,),
+        in_specs=[
+            pl.BlockSpec(
+                cbvh.blk_bbox_t.shape, lambda p: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # blk_const stays in HBM
+            *_ray_specs(packet),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((packet, 128), jnp.float32),
+            pltpu.VMEM((packet, 128), jnp.int32),
+            pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32),
+            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((8, branch + 1, 16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(cbvh.blk_bbox_t, cbvh.blk_const, rays, rays_t)
+
+    if stats:
+        per_packet = out[2].reshape(num_packets, 8, 128)[:, 0, :2]
+        return _unpack(out[0], out[1], num_rays, perm) + (per_packet,)
+    return _unpack(out[0], out[1], num_rays, perm)
 
 
 @functools.partial(

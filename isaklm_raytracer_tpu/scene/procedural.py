@@ -365,17 +365,34 @@ def hero_scene(num_triangles: int = 2_000_000, seed: int = 7) -> Scene:
     gn = np.where(flip, -gn, gn)
     grid_normals = np.repeat(gn[:, None, :], 3, axis=1)
 
-    # Sphere field.
-    sb = SceneBuilder()
-    sb.materials = b.materials
-    mats = rng.choice([white, gold, glass], n_spheres, p=[0.5, 0.3, 0.2])
-    for i in range(n_spheres):
-        cx, cz = rng.uniform(lo + 1, hi - 1, 2)
-        r = rng.uniform(0.15, 0.45)
-        _add_icosphere(sb, (cx, 1.0 + rng.uniform(0, 2.5), cz), r, int(mats[i]), subdiv=3)
+    # Sphere field: ONE subdiv-3 icosphere template (1280 tris), instanced
+    # by broadcast -- building 320 spheres triangle-by-triangle through
+    # SceneBuilder took minutes of host time at 2M-tri scale.
+    tb = SceneBuilder()
+    _add_icosphere(tb, (0.0, 0.0, 0.0), 1.0, 0, subdiv=3)
+    unit_v = np.stack(tb.vertices)  # (1280, 3, 3)
+    unit_n = np.stack(tb.normals)  # (1280, 3, 3) smooth normals
 
-    sphere_vertices = np.stack(sb.vertices) if sb.vertices else np.zeros((0, 3, 3), np.float32)
-    sphere_normals = np.stack(sb.normals) if sb.normals else np.zeros((0, 3, 3), np.float32)
+    mats = rng.choice([white, gold, glass], n_spheres, p=[0.5, 0.3, 0.2])
+    # Draw per-sphere randoms in the same interleaved order as the round-3
+    # per-sphere loop, so the generated scene is bit-identical to it.
+    cxz = np.empty((n_spheres, 2))
+    radii = np.empty(n_spheres)
+    cy = np.empty(n_spheres)
+    for i in range(n_spheres):
+        cxz[i] = rng.uniform(lo + 1, hi - 1, 2)
+        radii[i] = rng.uniform(0.15, 0.45)
+        cy[i] = 1.0 + rng.uniform(0, 2.5)
+    centers = np.stack([cxz[:, 0], cy, cxz[:, 1]], axis=1).astype(np.float32)
+
+    sphere_vertices = (
+        unit_v[None] * radii[:, None, None, None].astype(np.float32)
+        + centers[:, None, None, :]
+    ).reshape(-1, 3, 3).astype(np.float32)
+    sphere_normals = np.broadcast_to(
+        unit_n[None], (n_spheres,) + unit_n.shape
+    ).reshape(-1, 3, 3).astype(np.float32)
+    sphere_mat = np.repeat(mats.astype(np.int32), unit_v.shape[0])
 
     vertices = np.concatenate(
         [np.asarray(shell.vertices), grid_vertices, sphere_vertices]
@@ -388,7 +405,7 @@ def hero_scene(num_triangles: int = 2_000_000, seed: int = 7) -> Scene:
         [
             np.asarray(shell.mat_id),
             np.zeros(len(grid_vertices), np.int32),  # white floor
-            np.asarray(sb.mat_id, np.int32),
+            sphere_mat,
         ]
     )
     return build_scene(vertices, normals, uvs, mat_id, MaterialTable.stack(b.materials))

@@ -65,7 +65,12 @@ def main() -> None:
         print(f"[{name}] order {t_order:.1f}s build {t_build:.1f}s "
               f"clusters={cbvh8.num_clusters}")
 
-        checked = False
+        # Oracle reference once per ordering (it only depends on verts).
+        vj = jnp.asarray(verts)
+        tb, _ib, hb = jax.block_until_ready(
+            nearest_hit_brute(o[: args.check], d[: args.check], vj)
+        )
+        tb, hb = np.asarray(tb), np.asarray(hb)
         for branch in (8, 16, 32):
             cbvh = cbvh8 if branch == 8 else with_oct_branch(cbvh8, branch)
             for packet in (256, 512):
@@ -73,14 +78,22 @@ def main() -> None:
                     cbvh, o, d, packet=packet, oct_branch=branch
                 )
                 t, i, h = jax.block_until_ready(kern())
-                if not checked:  # once per ordering: vs brute oracle
-                    vj = jnp.asarray(verts)
-                    tb, ib, hb = nearest_hit_brute(o[: args.check], d[: args.check], vj)
-                    mism = int((np.asarray(h[: args.check]) != np.asarray(hb)).sum())
-                    print(f"  check vs brute: hit mismatches={mism}")
-                    if mism:
-                        raise SystemExit(1)
-                    checked = True
+                # Gate EVERY candidate config vs the brute oracle (hit mask
+                # exact, t to 1e-3 rel like bench.py verify_kernel) -- a
+                # fast-but-wrong branch/packet combo must not win the sweep.
+                hk = np.asarray(h[: args.check])
+                mism = int((hk != hb).sum())
+                both = hk & hb
+                tk = np.asarray(t[: args.check])
+                rel_dt = (
+                    float((np.abs(tk[both] - tb[both])
+                           / np.maximum(tb[both], 1e-3)).max())
+                    if both.any() else 0.0
+                )
+                if mism or rel_dt > 1e-3:
+                    print(f"  branch={branch} packet={packet}: ORACLE MISMATCH "
+                          f"(hits {mism}, rel dt {rel_dt:.2e})")
+                    raise SystemExit(1)
                 for _ in range(1):
                     jax.block_until_ready(kern())
                 t0 = time.perf_counter()

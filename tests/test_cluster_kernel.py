@@ -16,11 +16,15 @@ from isaklm_raytracer_tpu.accel.cluster import (
     CLUSTER_WIDTH,
     SUP_BRANCH,
     build_cluster_bvh,
+    cluster_order,
     morton_order,
+    with_oct_branch,
 )
 from isaklm_raytracer_tpu.accel.traverse import nearest_hit_brute
 from isaklm_raytracer_tpu.kernels.intersect import (
     nearest_hit_cluster,
+    nearest_hit_cluster_blk,
+    nearest_hit_cluster_flat,
     nearest_hit_cluster_hbm,
 )
 
@@ -45,6 +49,36 @@ class TestBuild:
         verts = _random_soup(rng, 333)
         order = morton_order(verts)
         assert sorted(order.tolist()) == list(range(333))
+
+    @pytest.mark.parametrize("num_tris", [333, 128 * 3, 128 * 5 + 1])
+    def test_cluster_order_is_permutation_with_tail_last(self, num_tris):
+        """cluster_order is the PRODUCTION renumbering (accel.prepare_scene):
+        it must be a permutation whose partial cluster (num_tris % 128) is
+        emitted LAST, every other leaf exactly CLUSTER_WIDTH wide -- the
+        invariant the kernels' id reconstruction (c*128 + lane) rests on."""
+        rng = np.random.default_rng(num_tris)
+        verts = _random_soup(rng, num_tris)
+        order = cluster_order(verts)
+        assert sorted(order.tolist()) == list(range(num_tris))
+        # Leaf structure: with the DFS median-split rounding every leaf
+        # except the global tail holds exactly CLUSTER_WIDTH triangles.
+        tail = num_tris % CLUSTER_WIDTH
+        n_full = num_tris // CLUSTER_WIDTH
+        # Spatial coherence of full leaves: each full cluster's bbox volume
+        # should be far below the whole soup's (sanity, not exact).
+        ordered = verts[order]
+        cbvh = build_cluster_bvh(ordered)
+        bb = np.asarray(cbvh.clu_bbox)
+        n_clusters = n_full + (1 if tail else 0)
+        # all real clusters non-inverted, all pad clusters inverted
+        assert (bb[:n_clusters, 0:3] <= bb[:n_clusters, 3:6] + 1e-6).all()
+        assert (bb[n_clusters:, 0] > bb[n_clusters:, 3]).all()
+        if tail:
+            # the tail cluster holds exactly the remainder: its slots past
+            # `tail` are padding (tri_const rows all zero there)
+            tc = np.asarray(cbvh.tri_const[n_clusters - 1])
+            assert (tc[0:15, tail:] == 0.0).all()
+            assert np.abs(tc[0:3, :tail]).sum() > 0
 
     def test_cluster_padding_and_boxes(self):
         rng = np.random.default_rng(1)
@@ -146,6 +180,92 @@ class TestKernelVsOracle:
         np.testing.assert_array_equal(np.asarray(hv), np.asarray(hh))
         np.testing.assert_array_equal(np.asarray(iv), np.asarray(ih))
         np.testing.assert_array_equal(np.asarray(tv), np.asarray(th))
+
+    @pytest.mark.parametrize("num_tris,num_rays", [(60, 257), (900, 300)])
+    def test_flat_kernel_vs_oracle(self, num_tris, num_rays):
+        """The tiny-scene flat kernel (no queue, no sort) must match the
+        oracle including the active mask and non-multiple-of-packet rays."""
+        rng = np.random.default_rng(num_tris + 1)
+        verts = _random_soup(rng, num_tris)
+        verts = verts[cluster_order(verts)]
+        cbvh = build_cluster_bvh(verts)
+        o, d = _random_rays(rng, num_rays)
+        act = jnp.asarray(rng.random(num_rays) > 0.3)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_flat(
+            cbvh, o, d, active=act, interpret=True
+        )
+        a = np.asarray(act)
+        np.testing.assert_array_equal(np.asarray(h0)[a], np.asarray(h1)[a])
+        assert not np.asarray(h1)[~a].any()
+        same = np.asarray(h0) & a
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+
+    @pytest.mark.parametrize("branch", [16, 32])
+    def test_blk_kernel_vs_oracle(self, branch):
+        """The v3 blocked HBM kernel (header-tile cull + quad-visit ring)
+        must match the oracle at both candidate block sizes."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(100 + branch)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), branch)
+        o, d = _random_rays(rng, 384)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_blk(cbvh, o, d, interpret=True)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        same = np.asarray(h0)
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+        # stats mode returns per-packet [block visits, clusters intersected]
+        *_, st = nearest_hit_cluster_blk(cbvh, o, d, interpret=True, stats=True)
+        st = np.asarray(st)
+        assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
+
+    def test_blk_kernel_via_build_flag(self):
+        """build_cluster_bvh(blk_branch=...) (the prepare_scene path) must
+        produce the same blocked tables as with_blocks."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(5)
+        verts = _random_soup(rng, 700)
+        verts = verts[cluster_order(verts)]
+        a = build_cluster_bvh(verts, blk_branch=16)
+        b = with_blocks(build_cluster_bvh(verts), 16)
+        np.testing.assert_array_equal(
+            np.asarray(a.blk_const), np.asarray(b.blk_const)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.blk_bbox_t), np.asarray(b.blk_bbox_t)
+        )
+        assert a.blk_branch == 16
+
+    @pytest.mark.parametrize("branch", [16, 32])
+    def test_hbm_kernel_other_oct_branches(self, branch):
+        """with_oct_branch rebuilds the DMA-block tables for 16/32-cluster
+        blocks; the kernel's matching oct_branch static arg must keep full
+        oracle agreement (the hero sweep's candidate defaults)."""
+        rng = np.random.default_rng(branch)
+        verts = _random_soup(rng, 1500)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_oct_branch(build_cluster_bvh(verts), branch)
+        o, d = _random_rays(rng, 384)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_hbm(
+            cbvh, o, d, interpret=True, oct_branch=branch
+        )
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        same = np.asarray(h0)
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
 
     def test_rays_from_inside_scene(self):
         """Origins on/inside geometry: the t_eps rule and axis-parallel
