@@ -53,7 +53,9 @@ def parse_args(argv=None):
                    help="checkpoint path; resumes if it exists")
     p.add_argument("--checkpoint-every", type=int, default=64)
     p.add_argument("--devices", default="auto",
-                   help="'auto' = shard over all local devices; '1' = single")
+                   help="'auto' = shard the render over all devices (mesh "
+                        "('tile',) over pixels); N = use the first N; "
+                        "'1' = single-device loop")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--preview", action="store_true",
@@ -181,6 +183,23 @@ def main(argv=None) -> int:
         print(f"wrote {args.out}", file=sys.stderr)
         return 0
 
+    # Multi-chip product path (BASELINE.json configs[4]): shard the render
+    # over a ("tile",) mesh of pixels; bit-identical to the single-device
+    # loop (dist.sharding.render_sharded, pinned by tests/test_sharding.py).
+    mesh = None
+    n_req = len(jax.devices()) if args.devices == "auto" else int(args.devices)
+    if n_req > 1:
+        from isaklm_raytracer_tpu.dist.sharding import (
+            make_render_mesh,
+            render_sharded,
+            unshard_gbuffer,
+        )
+
+        mesh = make_render_mesh(
+            num_tile=n_req, num_sample=1, devices=jax.devices()[:n_req]
+        )
+        print(f"mesh: {n_req} device(s) on 'tile'", file=sys.stderr)
+
     gbuffer = None
     start_sample = 0
     if args.checkpoint:
@@ -192,20 +211,33 @@ def main(argv=None) -> int:
     if gbuffer is None:
         gbuffer = GBuffer.create(config.num_pixels)
 
+    def plain(gb):
+        """Gather a (possibly tile-sharded) G-buffer to (num_pixels,)."""
+        if mesh is not None and gb.frame.shape[0] != config.num_pixels:
+            return unshard_gbuffer(gb, config)
+        return gb
+
     adaptive = not args.no_adaptive
     rays_per_sample = config.num_pixels * config.max_bounces * 2
     sample = start_sample
     while sample < args.max_samples:
         batch = min(args.checkpoint_every, args.max_samples - sample)
         t0 = time.time()
-        gbuffer = render(
-            scene, camera, config, num_samples=batch, seed=args.seed,
-            adaptive=adaptive, gbuffer=gbuffer, sample_offset=sample,
-        )
+        if mesh is not None:
+            gbuffer = render_sharded(
+                scene, camera, config, num_samples=batch, mesh=mesh,
+                seed=args.seed, adaptive=adaptive, gbuffer=gbuffer,
+                sample_offset=sample,
+            )
+        else:
+            gbuffer = render(
+                scene, camera, config, num_samples=batch, seed=args.seed,
+                adaptive=adaptive, gbuffer=gbuffer, sample_offset=sample,
+            )
         jax.block_until_ready(gbuffer)
         dt = time.time() - t0
         sample += batch
-        counts = np.asarray(gbuffer.count)
+        counts = np.asarray(gbuffer.count)[: config.num_pixels]
         converged = float((counts >= config.min_samples).mean())
         print(
             f"sample {sample}/{args.max_samples}: {dt / batch * 1e3:.0f} ms/sample, "
@@ -213,16 +245,18 @@ def main(argv=None) -> int:
             f"min spp {counts.min()}, converged {converged:.0%}",
             file=sys.stderr,
         )
-        if args.checkpoint:
-            save_checkpoint(args.checkpoint, gbuffer, camera, args.seed, sample)
+        if args.checkpoint and jax.process_index() == 0:
+            save_checkpoint(
+                args.checkpoint, plain(gbuffer), camera, args.seed, sample
+            )
         if adaptive and counts.min() >= config.min_samples:
             from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
 
-            if not bool(np.asarray(needs_sample(gbuffer, config)).any()):
+            if not bool(np.asarray(needs_sample(plain(gbuffer), config)).any()):
                 print("all pixels converged", file=sys.stderr)
                 break
 
-    image = resolve_image(gbuffer, config)
+    image = resolve_image(plain(gbuffer), config)
     save_png(args.out, np.asarray(image))
     print(f"wrote {args.out}", file=sys.stderr)
     return 0

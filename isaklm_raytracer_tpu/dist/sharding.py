@@ -30,8 +30,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from isaklm_raytracer_tpu.camera.camera import Camera
 from isaklm_raytracer_tpu.config import RenderConfig
-from isaklm_raytracer_tpu.integrator.render import make_trace_fn, render_sample
-from isaklm_raytracer_tpu.scene.types import Scene
+from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
+from isaklm_raytracer_tpu.integrator.render import (
+    compact_bucket,
+    make_trace_fn,
+    render_sample,
+)
+from isaklm_raytracer_tpu.math.color import luminance
+from isaklm_raytracer_tpu.scene.types import GBuffer, Scene
 
 
 def make_render_mesh(
@@ -121,6 +127,223 @@ def sharded_render_fn(scene: Scene, config: RenderConfig, mesh: Mesh):
         return radiance.reshape(total, 3)[: config.num_pixels]
 
     return functools.partial(run_impl, pixel_ids), num_sample
+
+
+def _tile_layout(config: RenderConfig, mesh: Mesh):
+    num_tile = mesh.shape["tile"]
+    per_tile = _pad_pixels(config, num_tile)
+    total = per_tile * num_tile
+    ids = np.minimum(np.arange(total, dtype=np.int32), config.num_pixels - 1)
+    pvalid = np.arange(total) < config.num_pixels
+    return num_tile, per_tile, total, ids, pvalid
+
+
+def shard_gbuffer(gbuffer: GBuffer, config: RenderConfig, mesh: Mesh) -> GBuffer:
+    """Pad a (num_pixels,) G-buffer to the tile layout and lay it out over
+    the mesh's tile axis (replicated over "sample")."""
+    _, _, total, _, _ = _tile_layout(config, mesh)
+    pad = total - config.num_pixels
+    return GBuffer(
+        frame=_put_global(
+            np.pad(np.asarray(gbuffer.frame), ((0, pad), (0, 0))),
+            mesh, P("tile", None),
+        ),
+        sq_luminance=_put_global(
+            np.pad(np.asarray(gbuffer.sq_luminance), (0, pad)), mesh, P("tile")
+        ),
+        count=_put_global(
+            np.pad(np.asarray(gbuffer.count), (0, pad)), mesh, P("tile")
+        ),
+    )
+
+
+def unshard_gbuffer(gbuffer: GBuffer, config: RenderConfig) -> GBuffer:
+    """Gather a tile-sharded G-buffer back to a plain (num_pixels,) one."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gbuffer = jax.tree.map(multihost_utils.process_allgather, gbuffer)
+    n = config.num_pixels
+    return GBuffer(
+        frame=jnp.asarray(np.asarray(gbuffer.frame)[:n]),
+        sq_luminance=jnp.asarray(np.asarray(gbuffer.sq_luminance)[:n]),
+        count=jnp.asarray(np.asarray(gbuffer.count)[:n]),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_step_fn(config: RenderConfig, mesh: Mesh, adaptive: bool):
+    """Jitted sharded uniform progressive step (the multi-chip render_step):
+    every device renders its pixel-tile chunk (masked by per-pixel adaptive
+    state), sample-axis streams are averaged with ONE pmean on ICI, and the
+    tile-sharded G-buffer accumulates fully locally. Bit-identical per pixel
+    to the single-device step (global-pixel-keyed RNG, math/rng.py)."""
+    num_sample = mesh.shape["sample"]
+
+    def per_device(scene, ids, pvalid, frame, sq, count, camera, key):
+        local_gb = GBuffer(frame, sq, count)
+        active = pvalid
+        if adaptive:
+            active = needs_sample(local_gb, config) & pvalid
+        # sample axis = independent progressive streams; size 1 keeps the
+        # exact single-device key sequence (no fold) for bit-parity.
+        dev_key = (
+            key if num_sample == 1
+            else jax.random.fold_in(key, jax.lax.axis_index("sample"))
+        )
+        trace_fn = make_trace_fn(scene, config)
+        radiance = render_sample(
+            scene, camera, dev_key, config, active=active, pixel_ids=ids,
+            trace_fn=trace_fn,
+        )
+        if num_sample > 1:
+            radiance = jax.lax.pmean(radiance, "sample")
+        return GBuffer(
+            frame=frame + radiance,  # inactive lanes already zeroed
+            sq_luminance=sq
+            + jnp.where(active, jnp.square(luminance(radiance)), 0.0),
+            count=count + active.astype(jnp.int32),
+        )
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tile"), P("tile"), P("tile", None), P("tile"),
+                  P("tile"), P(), P()),
+        out_specs=GBuffer(
+            frame=P("tile", None), sq_luminance=P("tile"), count=P("tile")
+        ),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step(scene, ids, pvalid, gb, camera, key):
+        return shard(
+            scene, ids, pvalid, gb.frame, gb.sq_luminance, gb.count, camera, key
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_compact_step_fn(config: RenderConfig, mesh: Mesh, bucket: int):
+    """Jitted sharded compute-skipping adaptive step: each device gathers
+    ITS OWN unconverged pixel ids into a fixed per-device `bucket` wavefront,
+    renders only those, and scatter-adds into its local G-buffer shard --
+    the mesh analog of integrator.render.make_compact_step_fn (per-shard
+    gather: zero cross-device traffic; the tile layout keeps shards
+    spatially contiguous so per-shard convergence skew stays bounded)."""
+    num_sample = mesh.shape["sample"]
+
+    def per_device(scene, ids, pvalid, frame, sq, count, camera, key):
+        local_gb = GBuffer(frame, sq, count)
+        active = needs_sample(local_gb, config) & pvalid
+        n_loc = jnp.sum(active)
+        loc = jnp.nonzero(active, size=bucket, fill_value=0)[0].astype(jnp.int32)
+        valid = jnp.arange(bucket, dtype=jnp.int32) < n_loc
+        dev_key = (
+            key if num_sample == 1
+            else jax.random.fold_in(key, jax.lax.axis_index("sample"))
+        )
+        trace_fn = make_trace_fn(scene, config)
+        radiance = render_sample(
+            scene, camera, dev_key, config, active=valid, pixel_ids=ids[loc],
+            trace_fn=trace_fn,
+        )
+        if num_sample > 1:
+            radiance = jax.lax.pmean(radiance, "sample")
+        vi = valid.astype(jnp.int32)
+        return GBuffer(
+            frame=frame.at[loc].add(radiance),  # masked lanes add 0
+            sq_luminance=sq.at[loc].add(
+                jnp.where(valid, jnp.square(luminance(radiance)), 0.0)
+            ),
+            count=count.at[loc].add(vi),
+        )
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("tile"), P("tile"), P("tile", None), P("tile"),
+                  P("tile"), P(), P()),
+        out_specs=GBuffer(
+            frame=P("tile", None), sq_luminance=P("tile"), count=P("tile")
+        ),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def step(scene, ids, pvalid, gb, camera, key):
+        return shard(
+            scene, ids, pvalid, gb.frame, gb.sq_luminance, gb.count, camera, key
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_active_counts_fn(config: RenderConfig, mesh: Mesh):
+    num_tile, per_tile, _, _, _ = _tile_layout(config, mesh)
+
+    @jax.jit
+    def counts(gb, pvalid):
+        act = needs_sample(gb, config) & pvalid
+        return jnp.sum(act.reshape(num_tile, per_tile), axis=1)
+
+    return counts
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    num_samples: int,
+    mesh: Mesh,
+    seed: int = 0,
+    adaptive: bool = False,
+    gbuffer: Optional[GBuffer] = None,
+    sample_offset: int = 0,
+) -> GBuffer:
+    """Multi-chip progressive render: the product path for BASELINE.json
+    configs[4] (2M-tri scene sharded over the mesh, adaptive, resumable).
+
+    Drop-in sharded analog of integrator.render.render: same key sequence,
+    same per-pixel adaptive gating, same compaction ladder (applied
+    per-device), so the result is BIT-IDENTICAL to the single-device loop
+    on any ("tile", 1) mesh (tests/test_sharding.py pins this). Pass a
+    plain (num_pixels,) or an already-sharded G-buffer; returns the sharded
+    one (unshard_gbuffer for resolve/checkpoint).
+    """
+    num_tile, per_tile, total, ids_np, pvalid_np = _tile_layout(config, mesh)
+    if gbuffer is None:
+        gbuffer = GBuffer.create(config.num_pixels)
+    if gbuffer.frame.shape[0] != total:
+        gbuffer = shard_gbuffer(gbuffer, config, mesh)
+    ids = _put_global(ids_np, mesh, P("tile"))
+    pvalid = _put_global(pvalid_np, mesh, P("tile"))
+
+    step = _sharded_step_fn(config, mesh, adaptive)
+    counts_fn = _sharded_active_counts_fn(config, mesh) if adaptive else None
+
+    base = jax.random.PRNGKey(seed)
+    min_bucket = min(
+        max(config.min_wavefront // num_tile, 256), per_tile
+    )
+    for i in range(num_samples):
+        key = jax.random.fold_in(base, sample_offset + i)
+        if adaptive:
+            per_dev = np.asarray(counts_fn(gbuffer, pvalid))
+            n_max = int(per_dev.max())
+            if n_max == 0:
+                break
+            bucket = compact_bucket(n_max, per_tile, min_bucket)
+            if bucket < per_tile:
+                gbuffer = _sharded_compact_step_fn(config, mesh, bucket)(
+                    scene, ids, pvalid, gbuffer, camera, key
+                )
+                continue
+        gbuffer = step(scene, ids, pvalid, gbuffer, camera, key)
+    return gbuffer
 
 
 def sharded_value_and_grad_fn(
