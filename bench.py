@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark: rays/sec/chip for the wavefront path tracer (BASELINE.md).
 
-Prints ONE JSON line:
-  {"metric": "rays/sec/chip (fwd)", "value": N, "unit": "rays/s",
-   "vs_baseline": N / BASELINE_RAYS_PER_SEC, ...extras}
+Prints ONE JSON line. The top-level fields are the DEFAULT preset (512x512,
+660-tri textured scene -- BASELINE.json configs[2]); `--preset all` (the
+plain invocation's default) additionally embeds a "hero" object (2M-tri
+scene, configs[3]) and an "adaptive_1080p" object (the reference's native
+resolution, macros.h:3-4, at a 95%-converged adaptive operating point) in
+the SAME line, so every headline number lives in the driver-captured
+artifact (VERDICT round 3, missing #3). Every preset is gated by the
+compiled-kernel-vs-oracle check and carries intersector provenance.
 
 Definition: the wavefront integrator executes `max_bounces` bounce steps
 per sample, each tracing one extension ray and one NEE shadow ray for every
@@ -12,7 +17,7 @@ so rays = pixels * spp * max_bounces * 2. The reference publishes no
 numbers (SURVEY.md section 6); BASELINE_RAYS_PER_SEC pins this repo's
 round-1 measurement so vs_baseline tracks self-improvement.
 
-Usage: python bench.py [--preset quick|default|hero] [--json-only]
+Usage: python bench.py [--preset all|quick|default|hero] [--json-only]
 """
 
 from __future__ import annotations
@@ -116,32 +121,52 @@ def verify_kernel(scene, config, num_rays: int, log) -> dict:
     }
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--preset", default="default", choices=["quick", "default", "hero"])
-    parser.add_argument("--json-only", action="store_true")
-    parser.add_argument("--no-bwd", action="store_true")
-    parser.add_argument("--no-check", action="store_true",
-                        help="skip the compiled-kernel-vs-oracle gate")
-    args = parser.parse_args()
+def trace_provenance(scene, config) -> dict:
+    """Which intersector/ordering the bench actually times (VERDICT r3
+    weak #5: rounds must be comparable)."""
+    import jax
 
+    name = "brute"
+    if scene.cbvh is not None and jax.default_backend() == "tpu":
+        from isaklm_raytracer_tpu.kernels.intersect import (
+            FLAT_CLUSTER_LIMIT,
+            VMEM_TABLE_LIMIT,
+        )
+
+        real_c = max(1, -(-scene.cbvh.num_triangles // 128))
+        if real_c <= FLAT_CLUSTER_LIMIT:
+            name = "pallas_flat_vmem"
+        elif scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
+            name = "pallas_queue_vmem"
+        elif scene.cbvh.blk_const is not None:
+            name = f"pallas_blk_hbm{scene.cbvh.blk_branch}"
+        else:
+            name = "pallas_oct_hbm"
+    elif scene.wkd is not None:
+        name = "wavefront_kd_xla"
+    elif scene.kd is not None:
+        name = "kd_scalar_vmap"
+    return {"intersector": name, "ordering": "cluster_order"}
+
+
+def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from isaklm_raytracer_tpu.integrator.render import make_trace_fn, render_sample
+    from isaklm_raytracer_tpu.integrator.render import render_sample
 
-    scene, camera, config, steps, warmup = build_bench(args.preset)
+    scene, camera, config, steps, warmup = build_bench(preset)
     device = jax.devices()[0]
-    log = (lambda *a: None) if args.json_only else (lambda *a: print(*a, file=sys.stderr))
-    log(f"bench: preset={args.preset} device={device.device_kind} "
+    log(f"bench: preset={preset} device={device.device_kind} "
         f"tris={scene.num_triangles} res={config.width}x{config.height} "
         f"bounces={config.max_bounces}")
 
     check_fields = {}
-    if not args.no_check:
+    if not no_check:
         # fewer check rays at hero scale: brute force is O(rays x tris)
-        n_check = 256 if args.preset == "hero" else 2048
+        n_check = 256 if preset == "hero" else 2048
         check_fields = verify_kernel(scene, config, n_check, log)
+    check_fields.update(trace_provenance(scene, config))
 
     # The scene is a jit ARGUMENT (not a closure constant): closed-over
     # arrays get baked into the compile payload, which at hero scale
@@ -170,7 +195,7 @@ def main() -> None:
         "value": round(fwd_rays),
         "unit": "rays/s",
         "vs_baseline": round(fwd_rays / BASELINE_RAYS_PER_SEC, 4),
-        "preset": args.preset,
+        "preset": preset,
         "triangles": scene.num_triangles,
         "resolution": f"{config.width}x{config.height}",
         "max_bounces": config.max_bounces,
@@ -178,7 +203,7 @@ def main() -> None:
         **check_fields,
     }
 
-    if args.preset != "hero":
+    if preset != "hero":
         # Adaptive compute-skipping (path_tracing.cuh:347-379 parity): step
         # wall-clock on a frame whose pixels are 90% converged, vs the full
         # uniform step. The compacted wavefront should approach the 10%-active
@@ -215,7 +240,7 @@ def main() -> None:
             f"({fwd_time/adaptive_time:.1f}x vs full, ideal 10x; "
             f"bucket {bucket}/{config.num_pixels})")
 
-    if not args.no_bwd:
+    if not no_bwd:
         @jax.jit
         def fwd_bwd(scene_, albedo, key):
             def loss(a):
@@ -232,6 +257,120 @@ def main() -> None:
         bwd_time = (time.perf_counter() - t0) / max(steps // 2, 1)
         result["fwd_bwd_ms_per_sample"] = round(bwd_time * 1e3, 2)
         result["rays_per_sec_fwd_bwd"] = round(rays_per_sample / bwd_time)
+
+    return result
+
+
+def run_adaptive_1080p(log) -> dict:
+    """The reference's native operating point (1920x1080, macros.h:3-4) in
+    its dominant tail phase: 95% of pixels converged, compacted adaptive
+    wavefront vs the full uniform step (path_tracing.cuh:347-379 analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaklm_raytracer_tpu.accel import prepare_scene
+    from isaklm_raytracer_tpu.camera import Camera
+    from isaklm_raytracer_tpu.config import RenderConfig
+    from isaklm_raytracer_tpu.integrator.render import (
+        compact_bucket,
+        make_compact_step_fn,
+        make_step_fn,
+    )
+    from isaklm_raytracer_tpu.scene import procedural
+    from isaklm_raytracer_tpu.scene.types import GBuffer
+
+    config = RenderConfig(width=1920, height=1080, max_bounces=6)
+    scene = prepare_scene(procedural.material_demo_scene())
+    camera = Camera.create((0.0, 1.2, -1.8), pitch=0.15, fov=3.14159 / 2)
+    key = jax.random.PRNGKey(0)
+
+    rng_np = np.random.default_rng(0)
+    conv = rng_np.random(config.num_pixels) < 0.95
+    counts = np.where(conv, config.max_samples, 0).astype(np.int32)
+    gb = GBuffer(
+        frame=jnp.zeros((config.num_pixels, 3), jnp.float32),
+        sq_luminance=jnp.zeros((config.num_pixels,), jnp.float32),
+        count=jnp.asarray(counts),
+    )
+    n_active = int((~conv).sum())
+    bucket = compact_bucket(n_active, config.num_pixels, config.min_wavefront)
+    cstep = make_compact_step_fn(config, bucket)
+    gb = cstep(scene, camera, gb, key)
+    jax.block_until_ready(gb)
+    steps = 3
+    t0 = time.perf_counter()
+    for i in range(steps):
+        gb = cstep(scene, camera, gb, jax.random.fold_in(key, 300 + i))
+    jax.block_until_ready(gb)
+    adaptive_time = (time.perf_counter() - t0) / steps
+
+    # full uniform step for the speedup denominator
+    step = make_step_fn(config)
+    gb2 = step(scene, camera, GBuffer.create(config.num_pixels), key, False)
+    jax.block_until_ready(gb2)
+    t0 = time.perf_counter()
+    gb2 = step(scene, camera, gb2, jax.random.fold_in(key, 1), False)
+    jax.block_until_ready(gb2)
+    full_time = time.perf_counter() - t0
+
+    out = {
+        "resolution": "1920x1080",
+        "converged_fraction": 0.95,
+        "adaptive_ms_per_step": round(adaptive_time * 1e3, 2),
+        "full_ms_per_step": round(full_time * 1e3, 2),
+        "speedup": round(full_time / adaptive_time, 2),
+        "ideal_speedup": round(config.num_pixels / bucket, 2),
+        "bucket": bucket,
+    }
+    log(f"adaptive 1080p @95%: {adaptive_time*1e3:.1f} ms/step vs full "
+        f"{full_time*1e3:.0f} ms ({out['speedup']}x, ideal {out['ideal_speedup']}x)")
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--preset", default="all", choices=["all", "quick", "default", "hero"]
+    )
+    parser.add_argument("--json-only", action="store_true")
+    parser.add_argument("--no-bwd", action="store_true")
+    parser.add_argument("--no-check", action="store_true",
+                        help="skip the compiled-kernel-vs-oracle gate")
+    args = parser.parse_args()
+
+    log = (lambda *a: None) if args.json_only else (
+        lambda *a: print(*a, file=sys.stderr)
+    )
+
+    if args.preset != "all":
+        result = run_preset(
+            args.preset, log, no_check=args.no_check, no_bwd=args.no_bwd
+        )
+    else:
+        result = run_preset(
+            "default", log, no_check=args.no_check, no_bwd=args.no_bwd
+        )
+        hero_keep = (
+            "value", "vs_baseline", "triangles", "resolution", "max_bounces",
+            "fwd_ms_per_sample", "kernel_check_rays", "kernel_check_max_rel_dt",
+            "intersector", "ordering", "fwd_bwd_ms_per_sample",
+            "rays_per_sec_fwd_bwd",
+        )
+        try:
+            hero = run_preset(
+                "hero", log, no_check=args.no_check, no_bwd=args.no_bwd
+            )
+            result["hero"] = {
+                ("rays_per_sec_fwd" if k == "value" else k): hero[k]
+                for k in hero_keep if k in hero
+            }
+        except Exception as e:  # hero must not mask the default artifact
+            result["hero"] = {"error": repr(e)[:300]}
+        try:
+            result["adaptive_1080p"] = run_adaptive_1080p(log)
+        except Exception as e:
+            result["adaptive_1080p"] = {"error": repr(e)[:300]}
 
     print(json.dumps(result))
 

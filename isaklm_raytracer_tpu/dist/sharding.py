@@ -357,8 +357,10 @@ def sharded_value_and_grad_fn(
     The loss is the mean squared error between the rendered radiance and the
     target image, averaged over the mesh's sample streams (stream s uses
     fold_in(key, s)); pixels are sharded over "tile", gradients of the
-    replicated MaterialTable float fields psum'd over the full mesh. Under
-    the global-pixel-keyed RNG this is bit-for-bit the same objective on any
+    replicated MaterialTable float fields AND the camera pose (keys
+    "camera_position", "camera_yaw", "camera_pitch" -- the differentiable
+    pose leaves of camera.cuh:15-26) psum'd over the full mesh. Under the
+    global-pixel-keyed RNG this is bit-for-bit the same objective on any
     mesh shape, so grads match a single-device jax.grad of the same loss
     (tests/test_sharding.py pins this).
 
@@ -387,8 +389,11 @@ def sharded_value_and_grad_fn(
         valid = valid[0]
         target = target[0]
 
-        def local_loss(floats, cam):
+        def local_loss(floats, pose):
             p = params.replace(**dict(zip(float_fields, floats)))
+            cam = camera.replace(
+                position=pose[0], yaw=pose[1], pitch=pose[2]
+            )
             s = scene.replace(materials=p)
             if "fn" not in trace_fn_cache:
                 trace_fn_cache["fn"] = make_trace_fn(s, config)
@@ -418,9 +423,10 @@ def sharded_value_and_grad_fn(
             return pseudo, mse
 
         floats = tuple(getattr(params, f) for f in float_fields)
-        (_, loss), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            floats, camera
-        )
+        pose = (camera.position, camera.yaw, camera.pitch)
+        (_, loss), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1), has_aux=True
+        )(floats, pose)
         # Cross-device reduction: tile-partial losses sum; gradients of the
         # replicated params all-reduce over both axes. XLA schedules these
         # collectives to overlap with the backward wavefront. Both loss and
@@ -456,8 +462,14 @@ def sharded_value_and_grad_fn(
         # target: (H*W, 3) -> padded tile shards
         pad = total - config.num_pixels
         t = jnp.pad(target, ((0, pad), (0, 0))).reshape(num_tile, per_tile, 3)
-        loss, grads = shard(pixel_ids_, valid_, params, camera, t, key)
-        return loss, dict(zip(float_fields, grads))
+        loss, (g_floats, g_pose) = shard(
+            pixel_ids_, valid_, params, camera, t, key
+        )
+        grads = dict(zip(float_fields, g_floats))
+        grads["camera_position"], grads["camera_yaw"], grads["camera_pitch"] = (
+            g_pose
+        )
+        return loss, grads
 
     return functools.partial(vg_impl, pixel_ids, valid)
 
@@ -486,8 +498,10 @@ def sharded_train_step_fn(
     @jax.jit
     def apply(params, grads):
         updates = {
-            f: getattr(params, f) - learning_rate * g for f, g in grads.items()
-        }
+            f: getattr(params, f) - learning_rate * g
+            for f, g in grads.items()
+            if not f.startswith("camera_")  # pose grads are reported, not
+        }                                    # stepped by the material SGD
         return params.replace(**updates)
 
     def train_step(params, camera, target, key):

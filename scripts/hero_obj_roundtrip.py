@@ -1,0 +1,131 @@
+"""Hero scene through the REAL asset pipeline at 2M-triangle scale.
+
+Writes the procedural hero scene as an indexed OBJ + .mat once, loads it
+back through create_scene_from_files (native C++ parser, cluster build),
+reports load/build wall times, and verifies (a) triangle arrays match the
+procedural path and (b) a small rendered image matches between the two
+scenes (VERDICT round 3, item 8: the native OBJ path at 10-mesh reference
+scale, mesh_loading.cuh:221-440).
+
+Usage: python scripts/hero_obj_roundtrip.py [--tris 2000000] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=2_000_000)
+    ap.add_argument("--dir", default=None,
+                    help="where to write hero.obj/.mat (default: temp dir)")
+    ap.add_argument("--render", type=int, default=64,
+                    help="verification render size (0 = skip)")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from isaklm_raytracer_tpu.scene import procedural
+    from isaklm_raytracer_tpu.scene.export import (
+        load_offset,
+        save_mat,
+        save_obj,
+    )
+    from isaklm_raytracer_tpu.scene.obj import (
+        Transformation,
+        create_scene_from_files,
+    )
+
+    t0 = time.perf_counter()
+    scene = procedural.hero_scene(args.tris)
+    print(f"procedural gen: {time.perf_counter() - t0:.1f}s "
+          f"({scene.num_triangles} tris)", flush=True)
+
+    out_dir = args.dir or tempfile.mkdtemp(prefix="hero_obj_")
+    os.makedirs(out_dir, exist_ok=True)
+    obj_path = os.path.join(out_dir, "hero.obj")
+    mat_path = os.path.join(out_dir, "hero.mat")
+
+    verts = np.asarray(scene.vertices)
+    names = ["white", "gold", "glass", "light"]
+    mt = scene.materials
+    mats = [
+        {
+            "albedo": tuple(np.asarray(mt.albedo)[i]),
+            "emittance": tuple(np.asarray(mt.emittance)[i]),
+            "roughness": float(np.asarray(mt.roughness)[i]),
+            "ior": float(np.asarray(mt.ior)[i]),
+            "extinction": float(np.asarray(mt.extinction)[i]),
+            "transparent": float(np.asarray(mt.transparent)[i]),
+        }
+        for i in range(len(names))
+    ]
+    t0 = time.perf_counter()
+    save_mat(mat_path, names, mats)
+    save_obj(obj_path, verts, np.asarray(scene.normals),
+             np.asarray(scene.mat_id), names)
+    size_mb = os.path.getsize(obj_path) / 1e6
+    print(f"export: {time.perf_counter() - t0:.1f}s ({size_mb:.0f} MB OBJ)",
+          flush=True)
+
+    t0 = time.perf_counter()
+    loaded = create_scene_from_files(
+        [(obj_path, mat_path,
+          Transformation(load_offset(verts), np.eye(3, dtype=np.float32)),
+          False)],
+        build_kd=True,  # prepare_scene: cluster_order + cluster/blk build
+    )
+    t_load = time.perf_counter() - t0
+    print(f"load+prepare (native parser + cluster build): {t_load:.1f}s",
+          flush=True)
+    assert loaded.num_triangles == scene.num_triangles
+
+    # Array equality up to the loader's recenter+restore rounding. The
+    # loaded scene is cluster_order-permuted by prepare_scene; compare
+    # through a canonical sort of vertex rows.
+    lv = np.asarray(loaded.vertices).reshape(loaded.num_triangles, -1)
+    pv = verts.reshape(scene.num_triangles, -1)
+    lo = np.lexsort(lv.T)
+    po = np.lexsort(pv.T)
+    err = np.abs(lv[lo] - pv[po]).max()
+    print(f"max vertex deviation after round-trip: {err:.2e}")
+    assert err < 1e-5, err
+
+    if args.render:
+        import jax
+
+        from isaklm_raytracer_tpu.accel import prepare_scene
+        from isaklm_raytracer_tpu.camera import Camera
+        from isaklm_raytracer_tpu.config import RenderConfig
+        from isaklm_raytracer_tpu.integrator.render import render, resolve_image
+
+        config = RenderConfig(
+            width=args.render, height=args.render, max_bounces=4,
+            min_samples=1,
+        )
+        camera = Camera.create((0.0, 2.0, -6.0), fov=np.pi / 2)
+        scene_p = prepare_scene(scene)
+        img_a = np.asarray(resolve_image(
+            render(scene_p, camera, config, num_samples=1, seed=3), config))
+        img_b = np.asarray(resolve_image(
+            render(loaded, camera, config, num_samples=1, seed=3), config))
+        dev = np.abs(img_a - img_b).max()
+        print(f"render deviation (procedural vs OBJ-loaded): {dev:.2e}")
+        assert dev < 5e-3, dev
+
+    print("hero OBJ round-trip OK")
+    if not args.dir:
+        import shutil
+
+        shutil.rmtree(out_dir)
+
+
+if __name__ == "__main__":
+    main()

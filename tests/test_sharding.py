@@ -108,26 +108,40 @@ def test_sharded_grads_match_single_device(scene, camera):
     fields = ("albedo", "emittance", "roughness", "ior", "extinction",
               "transparent")
 
-    def single_loss(floats):
+    def single_loss(floats, pose):
         p = params.replace(**dict(zip(fields, floats)))
+        cam = camera.replace(position=pose[0], yaw=pose[1], pitch=pose[2])
         s = scene.replace(materials=p)
         total = 0.0
         for s_idx in range(num_sample):
             radiance = render_sample(
-                s, camera, jax.random.fold_in(key, s_idx), CONFIG
+                s, cam, jax.random.fold_in(key, s_idx), CONFIG
             )
             err = radiance - target
             total = total + jnp.sum(err * err) / (3.0 * CONFIG.num_pixels)
         return total / num_sample
 
     floats = tuple(getattr(params, f) for f in fields)
-    loss_1, grads_1 = jax.value_and_grad(single_loss)(floats)
+    pose = (camera.position, camera.yaw, camera.pitch)
+    loss_1, (grads_1, pose_1) = jax.value_and_grad(
+        single_loss, argnums=(0, 1)
+    )(floats, pose)
 
     np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
     for f, g1 in zip(fields, grads_1):
         np.testing.assert_allclose(
             np.asarray(grads_sh[f]), np.asarray(g1), rtol=1e-4, atol=1e-7,
             err_msg=f"gradient mismatch for {f}",
+        )
+    # camera POSE grads ride the same psum path (north star: "material/
+    # camera parameter gradients all-reduced"; camera.cuh:15-26)
+    for name, g1 in zip(("camera_position", "camera_yaw", "camera_pitch"),
+                        pose_1):
+        g_sh = np.asarray(grads_sh[name])
+        assert np.abs(g_sh).sum() > 0, f"{name} gradient is identically zero"
+        np.testing.assert_allclose(
+            g_sh, np.asarray(g1), rtol=1e-4, atol=1e-7,
+            err_msg=f"gradient mismatch for {name}",
         )
 
 
