@@ -46,16 +46,15 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
 
+    import jax
     import jax.numpy as jnp
 
-    lights = jnp.asarray(
-        np.sort(inv[np.asarray(scene.light_indices)]).astype(np.int32)
-    )
+    lights = np.sort(inv[np.asarray(scene.light_indices)]).astype(np.int32)
     scene = scene.replace(
-        vertices=scene.vertices[order],
-        normals=scene.normals[order],
-        uvs=scene.uvs[order],
-        mat_id=scene.mat_id[order],
+        vertices=np.asarray(scene.vertices)[order],
+        normals=np.asarray(scene.normals)[order],
+        uvs=np.asarray(scene.uvs)[order],
+        mat_id=np.asarray(scene.mat_id)[order],
         light_indices=lights,
     )
 
@@ -84,7 +83,12 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
         kd = build_kd_tree(verts, max_depth, leaf_size)
         wkd = build_wavefront_kd(kd, verts, leaf_width)
         scene = scene.replace(kd=kd, wkd=wkd)
-    return scene.replace(cbvh=cbvh)
+    scene = scene.replace(cbvh=cbvh)
+    # ONE host->device conversion for the finished scene (host-side numpy
+    # leaves from build_scene; see scene.types.build_scene).
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, scene
+    )
 
 
 __all__ = [

@@ -154,22 +154,25 @@ def hit_attributes(
     material sample. Non-hit lanes get safe dummy values (index 0, t = 1).
     """
     safe_idx = jnp.maximum(idx, 0)
+    # jnp.asarray: scene leaves may be HOST numpy arrays on an unprepared
+    # scene (build_scene defers the device transfer); indexing numpy with a
+    # tracer is an error, and asarray is a no-op on device arrays/tracers.
     if scene.shade_table is not None:
         # One contiguous row gather for all per-triangle data (TPU gathers
         # are per-row latency-bound; five strided gathers cost ~5x this).
-        row = scene.shade_table[safe_idx]  # (R, 32)
+        row = jnp.asarray(scene.shade_table)[safe_idx]  # (R, 32)
         p1, p2, p3 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         nrm1, nrm2, nrm3 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
         uv1, uv2, uv3 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
         mat = row[:, 24].astype(jnp.int32)
     else:
-        tri = scene.vertices[safe_idx]  # (R, 3, 3)
+        tri = jnp.asarray(scene.vertices)[safe_idx]  # (R, 3, 3)
         p1, p2, p3 = tri[:, 0], tri[:, 1], tri[:, 2]
-        nrm = scene.normals[safe_idx]  # (R, 3, 3)
+        nrm = jnp.asarray(scene.normals)[safe_idx]  # (R, 3, 3)
         nrm1, nrm2, nrm3 = nrm[:, 0], nrm[:, 1], nrm[:, 2]
-        uvs = scene.uvs[safe_idx]  # (R, 3, 2)
+        uvs = jnp.asarray(scene.uvs)[safe_idx]  # (R, 3, 2)
         uv1, uv2, uv3 = uvs[:, 0], uvs[:, 1], uvs[:, 2]
-        mat = scene.mat_id[safe_idx]
+        mat = jnp.asarray(scene.mat_id)[safe_idx]
 
     geo_n = transforms.normalize(jnp.cross(p2 - p1, p3 - p1))
     ddn = jnp.sum(d * geo_n, axis=-1)
@@ -214,7 +217,7 @@ def hit_attributes(
         axis=1,
     )  # (M, 10)
     mrow = mat_pack[mat]  # (R, 10)
-    tex_id = m.tex_id[mat]
+    tex_id = jnp.asarray(m.tex_id)[mat]
     albedo = sample_texture(scene.textures, tex_id, mrow[:, 0:3], uv)
     emittance = sample_texture(scene.textures, tex_id, mrow[:, 3:6], uv)
 

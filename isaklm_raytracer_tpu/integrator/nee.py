@@ -42,9 +42,10 @@ def sample_direct_light(
     pick = jnp.clip(
         (u_pick * num_lights).astype(jnp.int32), 0, num_lights - 1
     )  # int(u * light_count), path_tracing.cuh:237
-    light_idx = scene.light_indices[pick]  # (R,)
+    # asarray: leaves may be host numpy on an unprepared scene (build_scene)
+    light_idx = jnp.asarray(scene.light_indices)[pick]  # (R,)
 
-    tri = scene.vertices[light_idx]  # (R, 3, 3)
+    tri = jnp.asarray(scene.vertices)[light_idx]  # (R, 3, 3)
     p1, p2, p3 = tri[:, 0], tri[:, 1], tri[:, 2]
     point = sampling.uniform_triangle(u_tri1, u_tri2, p1, p2, p3)
 

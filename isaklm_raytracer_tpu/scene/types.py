@@ -46,15 +46,19 @@ class MaterialTable:
 
     @staticmethod
     def stack(mats: list[dict]) -> "MaterialTable":
-        """Build from a list of material dicts (parser output)."""
+        """Build from a list of material dicts (parser output).
+
+        Leaves are HOST numpy arrays: scene construction stays device-free
+        (no H2D or D2H round trips while assembling/ordering geometry --
+        critical when the accelerator sits behind a high-latency tunnel);
+        accel.prepare_scene device_puts the finished Scene once."""
 
         def col(key, default, dim=None):
             rows = []
             for m in mats:
                 v = m.get(key, default)
                 rows.append(v)
-            arr = np.asarray(rows, np.float32 if key != "tex_id" else np.int32)
-            return jnp.asarray(arr)
+            return np.asarray(rows, np.float32 if key != "tex_id" else np.int32)
 
         return MaterialTable(
             albedo=col("albedo", (0.0, 0.0, 0.0)),
@@ -202,12 +206,15 @@ def build_scene(
         # Keep a non-empty array for static shapes; NEE is disabled by the
         # integrator when the scene has no real lights (has_lights=False).
         light_indices = np.zeros((1,), np.int32)
+    # HOST numpy leaves throughout: assembling, renumbering and accel
+    # builds all happen on the host; accel.prepare_scene device_puts the
+    # finished Scene once (tunnel-friendly -- no per-stage round trips).
     return Scene(
-        vertices=jnp.asarray(vertices, jnp.float32),
-        normals=jnp.asarray(normals, jnp.float32),
-        uvs=jnp.asarray(uvs, jnp.float32),
-        mat_id=jnp.asarray(mat_id),
-        light_indices=jnp.asarray(light_indices),
+        vertices=np.asarray(vertices, np.float32),
+        normals=np.asarray(normals, np.float32),
+        uvs=np.asarray(uvs, np.float32),
+        mat_id=mat_id,
+        light_indices=light_indices,
         materials=materials,
         textures=textures if textures is not None else TextureAtlas.empty(),
         has_lights=has_lights,
@@ -225,13 +232,13 @@ def sample_texture(
     """
     valid = tex_id >= 0
     safe_id = jnp.maximum(tex_id, 0)
-    w = textures.width[safe_id]
-    h = textures.height[safe_id]
-    off = textures.offset[safe_id]
+    w = jnp.asarray(textures.width)[safe_id]
+    h = jnp.asarray(textures.height)[safe_id]
+    off = jnp.asarray(textures.offset)[safe_id]
     u = jnp.mod(uv[..., 0], 1.0)
     v = jnp.mod(uv[..., 1], 1.0)
     px = (v * h.astype(jnp.float32)).astype(jnp.int32) * w + (
         u * w.astype(jnp.float32)
     ).astype(jnp.int32)
-    texel = textures.buffer[off + px]
+    texel = jnp.asarray(textures.buffer)[off + px]
     return jnp.where(valid[..., None], texel * color, color)

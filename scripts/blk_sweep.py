@@ -68,7 +68,7 @@ def main() -> None:
 
     vj = jnp.asarray(verts)
     tb, _ib, hb = jax.block_until_ready(
-        nearest_hit_brute(o[: args.check], d[: args.check], vj)
+        jax.jit(nearest_hit_brute)(o[: args.check], d[: args.check], vj)
     )
     tb, hb = np.asarray(tb), np.asarray(hb)
 

@@ -310,7 +310,7 @@ class TestGradVsFDMixedMaterials:
         base = scene.materials.extinction[gold]
 
         def loss(k_gold):
-            ext = scene.materials.extinction.at[gold].set(k_gold.reshape(()))
+            ext = jnp.asarray(scene.materials.extinction).at[gold].set(k_gold.reshape(()))
             s = scene.replace(materials=scene.materials.replace(extinction=ext))
             return jnp.mean(render_sample(s, camera, key, config))
 
