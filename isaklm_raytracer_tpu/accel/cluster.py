@@ -177,7 +177,16 @@ def _build_blocks_np(tri_const: np.ndarray, clu_bbox: np.ndarray, branch: int):
     """Numpy core of the blocked HBM layout (see ClusterBVH.blk_const)."""
     assert branch <= CLUSTER_WIDTH
     num_clusters = clu_bbox.shape[0]
-    assert num_clusters % branch == 0, (num_clusters, branch)
+    if num_clusters % branch:  # pad with inverted-box (always-culled) clusters
+        pad = branch - num_clusters % branch
+        tri_const = np.concatenate(
+            [tri_const, np.zeros((pad,) + tri_const.shape[1:], np.float32)]
+        )
+        pad_box = np.zeros((pad, 8), np.float32)
+        pad_box[:, 0:3] = 3e38
+        pad_box[:, 3:6] = -3e38
+        clu_bbox = np.concatenate([clu_bbox, pad_box])
+        num_clusters += pad
     num_blk = num_clusters // branch
     has_any = clu_bbox[:, 0] <= clu_bbox[:, 3]
 

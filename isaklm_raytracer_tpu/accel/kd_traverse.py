@@ -208,7 +208,11 @@ def nearest_hit_kd(
     o, d: (R, 3). Returns (t (R,), idx (R,) int32, hit (R,) bool), detached.
     `active` masks lanes to an immediate miss.
     """
-    t, idx, hit = jax.vmap(functools.partial(_traverse_one, kd, vertices, t_eps))(o, d)
+    # asarray: vertices may be host numpy on an unprepared scene
+    # (scene.types.build_scene defers the device transfer).
+    t, idx, hit = jax.vmap(
+        functools.partial(_traverse_one, kd, jnp.asarray(vertices), t_eps)
+    )(o, d)
     if active is not None:
         hit = hit & active
         idx = jnp.where(active, idx, -1)

@@ -520,9 +520,35 @@ def _blk_kernel(
             blk_ref.at[blk_i], buf_ref.at[slot], sems.at[slot]
         )
 
-    def visit(slot, blk_i, tmax, n_clu):
-        """Wait the block, cull its clusters vectorized, intersect hits."""
+    inner_extract = _make_extract(mask_ref)
+
+    def visit(slot, blk_i, tmax, n_clu, guard_m=None):
+        """Wait the block, cull its clusters vectorized, intersect hits.
+
+        The landed header tile gives every cluster's box in lanes; ONE
+        dense (B, 128) slab pass produces a per-cluster visitation key
+        (min entry distance over piercing rays, +inf if none), and an
+        extract-min mini-queue walks ONLY the pierced clusters -- Mosaic
+        has no dynamic-lane scalar loads, so the queue's vector-reduce
+        extract (the same pattern as the outer block queue) is also the
+        legal way to iterate a lane-indexed set.
+
+        `guard_m` (block entry distance): when given, the visit's COMPUTE is
+        skipped if the packet's hit front has already advanced past the
+        block (its prefetch DMA must still be waited -- the slot/semaphore
+        are reused next iteration)."""
         dma(slot, blk_i).wait()
+
+        if guard_m is not None:
+            def run(n):
+                return visit_compute(slot, blk_i, tmax, n)
+
+            return jax.lax.cond(
+                guard_m <= tmax, run, lambda n: n, n_clu
+            )
+        return visit_compute(slot, blk_i, tmax, n_clu)
+
+    def visit_compute(slot, blk_i, tmax, n_clu):
         hdr = buf_ref[slot, 0]  # (16, 128)
         bx0, by0, bz0 = hdr[0:1, :], hdr[1:2, :], hdr[2:3, :]
         bx1, by1, bz1 = hdr[3:4, :], hdr[4:5, :], hdr[5:6, :]
@@ -541,20 +567,24 @@ def _blk_kernel(
         # NaN-conservative: comparisons false on NaN -> lane counts as hit.
         miss = (near > far) | (far < t_eps) | (near > tmax)
         pierce = (~miss) & act & valid  # (B, 128)
-        mask_ref[0:1, :] = jnp.any(pierce, axis=0, keepdims=True).astype(
-            jnp.float32
-        )
+        key = jnp.where(pierce, jnp.maximum(near, 0.0), _INF)
+        key = jnp.where(key != key, 0.0, key)  # NaN -> visit first
+        mask_ref[0:1, :] = jnp.min(key, axis=0, keepdims=True)
 
-        def clu_body(k, n):
-            hit_any = mask_ref[0, k] > 0.0
+        m0, i0 = inner_extract()
 
-            @pl.when(hit_any)
-            def _():
-                intersect(buf_ref[slot, 1 + k], blk_i * branch + k)
+        def cond(c):
+            m, _i, _n = c
+            return m < _CUT
 
-            return n + hit_any.astype(jnp.int32)
+        def body(c):
+            _m, i, n = c
+            intersect(buf_ref[slot, 1 + i], blk_i * branch + i)
+            m2, i2 = inner_extract()
+            return m2, i2, n + 1
 
-        return jax.lax.fori_loop(0, branch, clu_body, n_clu)
+        _, _, n_clu = jax.lax.while_loop(cond, body, (m0, i0, n_clu))
+        return n_clu
 
     m0, i0 = extract()
     m1, i1 = extract()
@@ -580,14 +610,25 @@ def _blk_kernel(
             def _(j=j, i_n=i_n):
                 dma((base + 4 + j) & 7, i_n).start()
 
-        def do_visit(j, args):
-            nv, nc = args
-            return nv + 1, visit((base + j) & 7, quad[j][1], tmax, nc)
+        # Visit a: the loop cond already proved it is in front of the hit
+        # front. Visits b/c/d re-check against a FRESH tmax (the front
+        # advances within the iteration); a stale block's DMA is waited but
+        # its compute is skipped.
+        n_clu = visit(base, quad[0][1], tmax, n_clu)
+        n_visit = n_visit + 1
+        for j in range(1, 4):
+            def do_visit(args, j=j):
+                nv, nc = args
+                tmax_now = _packet_tmax(best_t_ref, act, far_bound)
+                nc2 = visit(
+                    (base + j) & 7, quad[j][1], tmax_now, nc,
+                    guard_m=quad[j][0],
+                )
+                return nv + 1, nc2
 
-        for j in range(4):
             n_visit, n_clu = jax.lax.cond(
                 quad[j][0] < _CUT,
-                functools.partial(do_visit, j),
+                do_visit,
                 lambda args: args,
                 (n_visit, n_clu),
             )
