@@ -80,28 +80,32 @@ def main() -> None:
         [(obj_path, mat_path,
           Transformation(load_offset(verts), np.eye(3, dtype=np.float32)),
           False)],
-        build_kd=True,  # prepare_scene: cluster_order + cluster/blk build
+        build_kd=False,  # raw load first: face order matches triangle order
     )
     t_load = time.perf_counter() - t0
-    print(f"load+prepare (native parser + cluster build): {t_load:.1f}s",
-          flush=True)
+    print(f"load (native parser): {t_load:.1f}s", flush=True)
     assert loaded.num_triangles == scene.num_triangles
 
-    # Array equality up to the loader's recenter+restore rounding. The
-    # loaded scene is cluster_order-permuted by prepare_scene; compare
-    # through a canonical sort of vertex rows.
-    lv = np.asarray(loaded.vertices).reshape(loaded.num_triangles, -1)
-    pv = verts.reshape(scene.num_triangles, -1)
-    lo = np.lexsort(lv.T)
-    po = np.lexsort(pv.T)
-    err = np.abs(lv[lo] - pv[po]).max()
+    # Element-wise equality up to the loader's recenter+restore rounding
+    # ((p - c) + c, mesh_loading.cuh:418-439).
+    lv = np.asarray(loaded.vertices)
+    err = np.abs(lv - verts).max()
     print(f"max vertex deviation after round-trip: {err:.2e}")
     assert err < 1e-5, err
+    nerr = np.abs(np.asarray(loaded.normals) - np.asarray(scene.normals)).max()
+    print(f"max normal deviation after round-trip: {nerr:.2e}")
+    assert nerr < 1e-5, nerr
+
+    from isaklm_raytracer_tpu.accel import prepare_scene
+
+    t0 = time.perf_counter()
+    loaded = prepare_scene(loaded)
+    print(f"prepare (cluster_order + cluster/blk build + device put): "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     if args.render:
         import jax
 
-        from isaklm_raytracer_tpu.accel import prepare_scene
         from isaklm_raytracer_tpu.camera import Camera
         from isaklm_raytracer_tpu.config import RenderConfig
         from isaklm_raytracer_tpu.integrator.render import render, resolve_image
