@@ -191,15 +191,17 @@ def make_active_count_fn(config: RenderConfig):
 
 
 def compact_bucket(n_active: int, num_pixels: int, chunk: int) -> int:
-    """Smallest halving of num_pixels (floored at `chunk`) >= n_active.
+    """Smallest ceil-halving of num_pixels (floored at `chunk`) >= n_active.
 
-    The bucket ladder {num_pixels, /2, /4, ..., chunk} bounds the number of
-    distinct compiled programs to log2(num_pixels/chunk) + 1 while keeping
-    padding waste below 2x.
+    The bucket ladder {num_pixels, ceil(/2), ceil(/4), ..., chunk} bounds
+    the number of distinct compiled programs to log2(num_pixels/chunk) + 1
+    while keeping padding waste below 2x. Ceil-halving (round 3 used exact
+    halving) makes the ladder work for ODD pixel counts too -- 639x360
+    previously never compacted at all.
     """
     size = num_pixels
-    while size % 2 == 0 and size // 2 >= max(n_active, 1) and size // 2 >= chunk:
-        size //= 2
+    while -(-size // 2) >= max(n_active, 1) and -(-size // 2) >= chunk:
+        size = -(-size // 2)
     return size
 
 
@@ -237,6 +239,75 @@ def make_compact_step_fn(config: RenderConfig, bucket: int):
             ),
             count=gb.count.at[ids].add(vi),
         )
+
+    return step
+
+
+@functools.lru_cache(maxsize=8)
+def make_candidates_fn(config: RenderConfig, bucket: int):
+    """Jitted: gather the unconverged pixel ids into a (bucket,) candidate
+    array (-1 padded), ascending. One O(num_pixels) scan -- done ONCE when
+    entering tail mode, not per step."""
+
+    @jax.jit
+    def cands(gb):
+        active = needs_sample(gb, config)
+        n = jnp.sum(active)
+        ids = jnp.nonzero(active, size=bucket, fill_value=0)[0].astype(jnp.int32)
+        ids = jnp.where(jnp.arange(bucket, dtype=jnp.int32) < n, ids, -1)
+        return ids, n
+
+    return cands
+
+
+@functools.lru_cache(maxsize=64)
+def make_tail_step_fn(config: RenderConfig, bucket: int):
+    """Jitted O(bucket) adaptive tail step over a CANDIDATE id set.
+
+    Once a pixel leaves the active set it accumulates nothing, so its
+    adaptive state is frozen and it can never re-activate (monotone under
+    no camera reset). The active set therefore only SHRINKS, and the tail
+    loop needs to re-test needs_sample only on the current candidates --
+    an O(bucket) gather -- instead of scanning all pixels each step (the
+    round-3 floor cost, BASELINE.md adaptive table). Candidates stay
+    order-preserved (ascending ids -> coherent packets) and compact to the
+    front, so the host can shrink the bucket by slicing.
+
+    Returns (gbuffer', candidates', n_active). Sampled-pixel CHOICE and
+    radiance values are bit-identical to the full masked step (same
+    per-pixel gate, same global-pixel-keyed RNG).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def step(scene, camera, gb, cand, k):
+        valid_c = cand >= 0
+        safe = jnp.maximum(cand, 0)
+        sub = GBuffer(
+            frame=gb.frame[safe],
+            sq_luminance=gb.sq_luminance[safe],
+            count=gb.count[safe],
+        )
+        active = needs_sample(sub, config) & valid_c
+        n = jnp.sum(active)
+        # stable partition: actives (ascending) to the front
+        order = jnp.argsort(~active, stable=True)
+        cand2 = jnp.where(
+            jnp.arange(bucket, dtype=jnp.int32) < n, cand[order], -1
+        )
+        ids = jnp.maximum(cand2, 0)
+        valid = cand2 >= 0
+        radiance = render_sample(
+            scene, camera, k, config, active=valid, pixel_ids=ids
+        )
+        vi = valid.astype(jnp.int32)
+        gb2 = GBuffer(
+            frame=gb.frame.at[ids].add(radiance),  # masked lanes add 0
+            sq_luminance=gb.sq_luminance.at[ids].add(
+                jnp.where(valid, jnp.square(luminance(radiance)), 0.0)
+            ),
+            count=gb.count.at[ids].add(vi),
+        )
+        return gb2, cand2, n
 
     return step
 
@@ -280,8 +351,11 @@ def render(
         gbuffer = GBuffer.create(config.num_pixels)
     step = make_step_fn(config)
     count_active = make_active_count_fn(config) if adaptive else None
+    floor = min(config.min_wavefront, config.num_pixels)
 
     base = jax.random.PRNGKey(seed)
+    cand = None  # tail-mode candidate ids (ascending, -1 padded)
+    bucket = config.num_pixels
     for i in range(num_samples):
         key = jax.random.fold_in(base, sample_offset + i)
         if adaptive:
@@ -289,18 +363,27 @@ def render(
             # next to tracing): shrink the launch to the unconverged set so
             # converged pixels cost NOTHING, like the reference's per-thread
             # skip (path_tracing.cuh:347-379).
-            n_active = int(count_active(gbuffer))
-            if n_active == 0:
-                break
-            bucket = compact_bucket(
-                n_active,
-                config.num_pixels,
-                min(config.min_wavefront, config.num_pixels),
-            )
-            if bucket < config.num_pixels:
-                gbuffer = make_compact_step_fn(config, bucket)(
-                    scene, camera, gbuffer, key
+            if cand is None:
+                n_active = int(count_active(gbuffer))
+                if n_active == 0:
+                    break
+                bucket = compact_bucket(n_active, config.num_pixels, floor)
+                if bucket < config.num_pixels:
+                    # Enter TAIL MODE: one O(num_pixels) candidate gather,
+                    # then every further step is O(bucket)
+                    # (make_tail_step_fn; the active set is monotone).
+                    cand, _n = make_candidates_fn(config, bucket)(gbuffer)
+            if cand is not None:
+                gbuffer, cand, n_dev = make_tail_step_fn(config, bucket)(
+                    scene, camera, gbuffer, cand, key
                 )
+                n_active = int(n_dev)
+                if n_active == 0:
+                    break
+                nb = compact_bucket(n_active, config.num_pixels, floor)
+                if nb < bucket:
+                    cand = cand[:nb]  # actives are compacted to the front
+                    bucket = nb
                 continue
         gbuffer = step(scene, camera, gbuffer, key, adaptive)
     return gbuffer
