@@ -162,7 +162,10 @@ def unshard_gbuffer(gbuffer: GBuffer, config: RenderConfig) -> GBuffer:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        gbuffer = jax.tree.map(multihost_utils.process_allgather, gbuffer)
+        gbuffer = jax.tree.map(
+            lambda x: multihost_utils.process_allgather(x, tiled=True),
+            gbuffer,
+        )
     n = config.num_pixels
     return GBuffer(
         frame=jnp.asarray(np.asarray(gbuffer.frame)[:n]),
@@ -285,7 +288,12 @@ def _sharded_compact_step_fn(config: RenderConfig, mesh: Mesh, bucket: int):
 def _sharded_active_counts_fn(config: RenderConfig, mesh: Mesh):
     num_tile, per_tile, _, _, _ = _tile_layout(config, mesh)
 
-    @jax.jit
+    # out_shardings: fully replicated, so EVERY process can read the small
+    # per-tile count vector on the host (multi-host: np.asarray of a
+    # tile-sharded global array would fail on non-addressable shards).
+    @functools.partial(
+        jax.jit, out_shardings=NamedSharding(mesh, P())
+    )
     def counts(gb, pvalid):
         act = needs_sample(gb, config) & pvalid
         return jnp.sum(act.reshape(num_tile, per_tile), axis=1)

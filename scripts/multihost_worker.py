@@ -87,7 +87,36 @@ def main() -> int:
     loss = float(loss)
     albedo_finite = bool(np.isfinite(np.asarray(params.albedo)).all())
 
-    ok = err < 2e-5 and np.isfinite(loss) and albedo_finite
+    # PRODUCT multi-chip path across the host boundary: the sharded
+    # progressive loop (adaptive, per-device compaction) on a pure tile
+    # mesh must equal the single-process render() bit-for-bit.
+    from isaklm_raytracer_tpu.dist.sharding import (
+        render_sharded,
+        unshard_gbuffer,
+    )
+    from isaklm_raytracer_tpu.integrator.render import render
+
+    pconfig = RenderConfig(
+        width=16, height=16, max_bounces=3, min_samples=1, max_samples=8,
+        max_tolerance=0.5, min_wavefront=8,
+    )
+    tile_mesh = make_render_mesh(num_tile=4 * nprocs, num_sample=1)
+    gb = render_sharded(
+        scene, camera, pconfig, num_samples=4, mesh=tile_mesh, seed=2,
+        adaptive=True,
+    )
+    gb = unshard_gbuffer(gb, pconfig)
+    gb_ref = render(scene, camera, pconfig, num_samples=4, seed=2,
+                    adaptive=True)
+    prog_err = float(
+        np.abs(np.asarray(gb.frame) - np.asarray(gb_ref.frame)).max()
+    )
+    prog_counts_equal = bool(
+        (np.asarray(gb.count) == np.asarray(gb_ref.count)).all()
+    )
+
+    ok = (err < 2e-5 and np.isfinite(loss) and albedo_finite
+          and prog_err == 0.0 and prog_counts_equal)
     if pid == 0:
         with open(out_path, "w") as f:
             json.dump(
@@ -96,6 +125,8 @@ def main() -> int:
                     "max_abs_err": err,
                     "loss": loss,
                     "albedo_finite": albedo_finite,
+                    "progressive_max_abs_err": prog_err,
+                    "progressive_counts_equal": prog_counts_equal,
                     "process_count": jax.process_count(),
                     "global_devices": len(jax.devices()),
                 },
