@@ -75,6 +75,15 @@ class ClusterBVH:
     blk_const: jnp.ndarray = None  # (NB, blk_branch + 1, 16, 128) f32
     blk_bbox_t: jnp.ndarray = None  # (8, 128-pad of NB) f32
     blk_branch: int = struct.field(pytree_node=False, default=0)
+    # MXU-layout blocks (kernels/intersect.py nearest_hit_cluster_blk with
+    # mxu=True): per block, one header tile then TWO (16, 128) tiles per
+    # cluster -- W1 = [n-weights (8 rows); e1-weights (8 rows)], W2 =
+    # [e2-weights (8 rows); aux (8 rows: np1, p1e1, p1e2, ca, cb, cc, 0, 0)]
+    # -- so the kernel computes all six ray/tri dot products as three
+    # (2B, 8) @ (8, 128) matmuls on the MXU (rows 0..B-1 = direction dots,
+    # B..2B-1 = origin dots) and keeps only the cheap VPU tail.
+    mxu_const: jnp.ndarray = None  # (NB, 2*blk_branch + 1, 16, 128) f32
+    mxu_branch: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_clusters(self) -> int:
@@ -205,6 +214,61 @@ def _build_blocks_np(tri_const: np.ndarray, clu_bbox: np.ndarray, branch: int):
     ).max(axis=1)
     blk_valid = has_any.reshape(num_blk, branch).any(axis=1)
     return blk, _bbox_t(blk_bbox, blk_valid)
+
+
+def _build_mxu_blocks_np(tri_const: np.ndarray, clu_bbox: np.ndarray,
+                         branch: int):
+    """Numpy core of the MXU block layout (see ClusterBVH.mxu_const)."""
+    assert branch <= CLUSTER_WIDTH
+    num_clusters = clu_bbox.shape[0]
+    if num_clusters % branch:
+        pad = branch - num_clusters % branch
+        tri_const = np.concatenate(
+            [tri_const, np.zeros((pad,) + tri_const.shape[1:], np.float32)]
+        )
+        pad_box = np.zeros((pad, 8), np.float32)
+        pad_box[:, 0:3] = 3e38
+        pad_box[:, 3:6] = -3e38
+        clu_bbox = np.concatenate([clu_bbox, pad_box])
+        num_clusters += pad
+    num_blk = num_clusters // branch
+    has_any = clu_bbox[:, 0] <= clu_bbox[:, 3]
+
+    blk = np.zeros((num_blk, 2 * branch + 1, 16, CLUSTER_WIDTH), np.float32)
+    hdr_box = clu_bbox.reshape(num_blk, branch, 8)
+    blk[:, 0, 0:6, :branch] = np.moveaxis(hdr_box[:, :, 0:6], 1, 2)
+    blk[:, 0, 6, :branch] = has_any.reshape(num_blk, branch).astype(np.float32)
+
+    tc = tri_const.reshape(num_blk, branch, 16, CLUSTER_WIDTH)
+    # W1 = [n-weights rows 0-2; e1-weights rows 8-10], W2 = [e2-weights
+    # rows 0-2; aux rows 8-13 = np1 p1e1 p1e2 ca cb cc]
+    blk[:, 1::2, 0:3] = tc[:, :, 0:3]
+    blk[:, 1::2, 8:11] = tc[:, :, 3:6]
+    blk[:, 2::2, 0:3] = tc[:, :, 6:9]
+    blk[:, 2::2, 8:14] = tc[:, :, 9:15]
+
+    blk_bbox = np.zeros((num_blk, 8), np.float32)
+    blk_bbox[:, 0:3] = np.where(
+        has_any.reshape(num_blk, branch, 1), hdr_box[:, :, 0:3], 3e38
+    ).min(axis=1)
+    blk_bbox[:, 3:6] = np.where(
+        has_any.reshape(num_blk, branch, 1), hdr_box[:, :, 3:6], -3e38
+    ).max(axis=1)
+    blk_valid = has_any.reshape(num_blk, branch).any(axis=1)
+    return blk, _bbox_t(blk_bbox, blk_valid)
+
+
+def with_mxu_blocks(cbvh: ClusterBVH, branch: int = 32) -> ClusterBVH:
+    """Attach the MXU block layout (see ClusterBVH.mxu_const). Also sets
+    blk_bbox_t (the dense-phase table is shared with the v3 layout)."""
+    blk, blk_bbox_t = _build_mxu_blocks_np(
+        np.asarray(cbvh.tri_const), np.asarray(cbvh.clu_bbox), branch
+    )
+    return cbvh.replace(
+        mxu_const=jnp.asarray(blk),
+        blk_bbox_t=jnp.asarray(blk_bbox_t),
+        mxu_branch=branch,
+    )
 
 
 def with_blocks(cbvh: ClusterBVH, branch: int = 32) -> ClusterBVH:

@@ -233,6 +233,59 @@ def _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps):
     return intersect
 
 
+def _make_intersect_mxu(
+    do_ref, act, lane_id, best_t_ref, best_id_ref, t_eps
+):
+    """MXU-assisted dense B x 128 intersection + per-lane best update.
+
+    All six ray/triangle dot products (d.n, o.n, d.e1, o.e1, d.e2, o.e2)
+    come from three (2B, 8) @ (8, 128) matmuls against the cluster's
+    weight tiles (accel.cluster.with_mxu_blocks layout): rows 0..B-1 of
+    `do_ref` carry ray directions, rows B..2B-1 origins, so one product
+    yields both the d-dot and the o-dot of a quantity. The VPU keeps only
+    the cheap tail (plane t, barycentric fold, acceptance) -- roughly half
+    the elementwise ops of `_make_intersect`, with the dots running on the
+    otherwise-idle MXU. Acceptance rules identical (trace_ray.cuh:73-113).
+    """
+    dims = (((1,), (0,)), ((), ()))
+
+    def intersect(w1, w2, c):
+        batch = best_t_ref.shape[0]
+        do = do_ref[:]  # (2B, 8)
+        dots_n = jax.lax.dot_general(
+            do, w1[0:8], dims, preferred_element_type=jnp.float32
+        )  # (2B, 128)
+        dots_e1 = jax.lax.dot_general(
+            do, w1[8:16], dims, preferred_element_type=jnp.float32
+        )
+        dots_e2 = jax.lax.dot_general(
+            do, w2[0:8], dims, preferred_element_type=jnp.float32
+        )
+        ddn, odn = dots_n[0:batch], dots_n[batch:]
+        de1, oe1 = dots_e1[0:batch], dots_e1[batch:]
+        de2, oe2 = dots_e2[0:batch], dots_e2[batch:]
+        np1, p1e1, p1e2 = w2[8:9], w2[9:10], w2[10:11]
+        ca, cb, cc = w2[11:12], w2[12:13], w2[13:14]
+
+        s = (np1 - odn) / ddn
+        d20 = oe1 + s * de1 - p1e1
+        d21 = oe2 + s * de2 - p1e2
+        b = d20 * ca - d21 * cb
+        c3 = d21 * cc - d20 * cb
+        a = 1.0 - b - c3
+        inside = (
+            (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+            & (c3 >= 0.0) & (c3 <= 1.0)
+        )
+        valid = (ddn != 0.0) & (s >= t_eps) & inside & act
+        tval = jnp.where(valid, s, _INF)
+        better = tval < best_t_ref[:]
+        best_id_ref[:] = jnp.where(better, c * 128 + lane_id, best_id_ref[:])
+        best_t_ref[:] = jnp.where(better, tval, best_t_ref[:])
+
+    return intersect
+
+
 def _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref):
     """One cross-lane argmin per packet: nearest t, ties to lowest id."""
     tmin = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
@@ -478,6 +531,7 @@ def _blk_kernel(
     t_eps: float,
     stats: bool = False,
     branch: int = 32,
+    mxu: bool = False,
 ):
     """v3 big-scene kernel: QUAD-visit DMA pipeline over BLOCKED clusters.
 
@@ -500,13 +554,30 @@ def _blk_kernel(
     packet on the final iteration."""
     if stats:
         out_stats_ref, *rest = rest
-    (best_t_ref, best_id_ref, near_ref, mask_ref, buf_ref, sems) = rest
+    if mxu:
+        (best_t_ref, best_id_ref, near_ref, mask_ref, do_ref, buf_ref,
+         sems) = rest
+    else:
+        (best_t_ref, best_id_ref, near_ref, mask_ref, buf_ref, sems) = rest
     batch = rays_ref.shape[0]
     cols = _ray_columns(rays_ref)
     act = cols[6]
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     _init_best(batch, best_t_ref, best_id_ref)
-    intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
+    if mxu:
+        # (2B, 8) [directions; origins] matmul operand, built once per
+        # packet; lanes 3-7 zero.
+        do_ref[:] = jnp.zeros((2 * batch, 8), jnp.float32)
+        for j in range(3):
+            do_ref[0:batch, j:j + 1] = rays_ref[:, 3 + j:4 + j]
+            do_ref[batch:2 * batch, j:j + 1] = rays_ref[:, j:j + 1]
+        intersect = _make_intersect_mxu(
+            do_ref, act, lane_id, best_t_ref, best_id_ref, t_eps
+        )
+    else:
+        intersect = _make_intersect(
+            cols, lane_id, best_t_ref, best_id_ref, t_eps
+        )
 
     ox, oy, oz, dx, dy, dz, _ = cols
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
@@ -579,7 +650,13 @@ def _blk_kernel(
 
         def body(c):
             _m, i, n = c
-            intersect(buf_ref[slot, 1 + i], blk_i * branch + i)
+            if mxu:
+                intersect(
+                    buf_ref[slot, 1 + 2 * i], buf_ref[slot, 2 + 2 * i],
+                    blk_i * branch + i,
+                )
+            else:
+                intersect(buf_ref[slot, 1 + i], blk_i * branch + i)
             m2, i2 = inner_extract()
             return m2, i2, n + 1
 
@@ -874,7 +951,7 @@ def nearest_hit_cluster_flat(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats")
+    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats", "mxu")
 )
 def nearest_hit_cluster_blk(
     cbvh: ClusterBVH,
@@ -885,13 +962,18 @@ def nearest_hit_cluster_blk(
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
     stats: bool = False,
+    mxu: bool = False,
 ):
     """Batched nearest hit via the v3 blocked HBM kernel (big scenes).
 
-    Requires `cbvh.blk_const` (accel.cluster.with_blocks). stats=True also
-    returns (num_packets, 2) int32 [block visits, clusters intersected]."""
-    assert cbvh.blk_const is not None, "run accel.cluster.with_blocks first"
-    branch = cbvh.blk_branch
+    Requires `cbvh.blk_const` (accel.cluster.with_blocks) -- or, with
+    mxu=True, `cbvh.mxu_const` (with_mxu_blocks): the six ray/tri dot
+    products then run as MXU matmuls per cluster (see _make_intersect_mxu).
+    stats=True also returns (num_packets, 2) int32 [block visits, clusters
+    intersected]."""
+    table = cbvh.mxu_const if mxu else cbvh.blk_const
+    assert table is not None, "run accel.cluster.with_blocks/with_mxu_blocks"
+    branch = cbvh.mxu_branch if mxu else cbvh.blk_branch
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
 
     out_shape = [
@@ -907,29 +989,37 @@ def nearest_hit_cluster_blk(
             pl.BlockSpec((8, 128), lambda p: (p, 0), memory_space=pltpu.VMEM)
         )
 
+    scratch = [
+        pltpu.VMEM((packet, 128), jnp.float32),
+        pltpu.VMEM((packet, 128), jnp.int32),
+        pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32),
+        pltpu.VMEM((1, 128), jnp.float32),
+    ]
+    if mxu:
+        scratch.append(pltpu.VMEM((2 * packet, 8), jnp.float32))
+        scratch.append(pltpu.VMEM((8, 2 * branch + 1, 16, 128), jnp.float32))
+    else:
+        scratch.append(pltpu.VMEM((8, branch + 1, 16, 128), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+
     out = pl.pallas_call(
-        functools.partial(_blk_kernel, t_eps=t_eps, stats=stats, branch=branch),
+        functools.partial(
+            _blk_kernel, t_eps=t_eps, stats=stats, branch=branch, mxu=mxu
+        ),
         grid=(num_packets,),
         in_specs=[
             pl.BlockSpec(
                 cbvh.blk_bbox_t.shape, lambda p: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),  # blk_const stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # block table stays in HBM
             *_ray_specs(packet),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((packet, 128), jnp.float32),
-            pltpu.VMEM((packet, 128), jnp.int32),
-            pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32),
-            pltpu.VMEM((1, 128), jnp.float32),
-            pltpu.VMEM((8, branch + 1, 16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(cbvh.blk_bbox_t, cbvh.blk_const, rays, rays_t)
+    )(cbvh.blk_bbox_t, table, rays, rays_t)
 
     if stats:
         per_packet = out[2].reshape(num_packets, 8, 128)[:, 0, :2]

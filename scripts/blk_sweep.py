@@ -112,6 +112,8 @@ def main() -> None:
             ),
         )
 
+    from isaklm_raytracer_tpu.accel.cluster import with_mxu_blocks
+
     best = (0.0, None)
     for branch in args.branches:
         cb = with_blocks(cbvh, branch)
@@ -126,8 +128,23 @@ def main() -> None:
                 ),
             )
             if r > best[0]:
-                best = (r, (branch, packet))
-    print(f"best v3: {best[0] / 1e6:.2f} M rays/s at branch/packet {best[1]}")
+                best = (r, ("blk", branch, packet))
+        if branch > 64:
+            continue  # mxu ring would exceed VMEM
+        cm = with_mxu_blocks(cbvh, branch)
+        for packet in args.packets:
+            r = bench(
+                f"v4 mxu{branch:<3d} packet={packet}",
+                lambda cm=cm, packet=packet: nearest_hit_cluster_blk(
+                    cm, o, d, packet=packet, mxu=True
+                ),
+                lambda cm=cm, packet=packet: nearest_hit_cluster_blk(
+                    cm, o, d, packet=packet, mxu=True, stats=True
+                ),
+            )
+            if r > best[0]:
+                best = (r, ("mxu", branch, packet))
+    print(f"best: {best[0] / 1e6:.2f} M rays/s at {best[1]}")
 
 
 if __name__ == "__main__":

@@ -228,6 +228,28 @@ class TestKernelVsOracle:
         st = np.asarray(st)
         assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
 
+    @pytest.mark.parametrize("branch", [16, 32])
+    def test_blk_kernel_mxu_vs_oracle(self, branch):
+        """The MXU-layout variant (dot products as per-cluster matmuls)
+        must reproduce the oracle exactly (f32 dot_general in interpret
+        mode; on TPU the bench oracle gate covers the bf16x3 MXU path)."""
+        from isaklm_raytracer_tpu.accel.cluster import with_mxu_blocks
+
+        rng = np.random.default_rng(300 + branch)
+        verts = _random_soup(rng, 1700)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_mxu_blocks(build_cluster_bvh(verts), branch)
+        o, d = _random_rays(rng, 384)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_blk(cbvh, o, d, interpret=True,
+                                             mxu=True)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        same = np.asarray(h0)
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+
     def test_blk_kernel_via_build_flag(self):
         """build_cluster_bvh(blk_branch=...) (the prepare_scene path) must
         produce the same blocked tables as with_blocks."""
