@@ -84,6 +84,10 @@ class ClusterBVH:
     # B..2B-1 = origin dots) and keeps only the cheap VPU tail.
     mxu_const: jnp.ndarray = None  # (NB, 2*blk_branch + 1, 16, 128) f32
     mxu_branch: int = struct.field(pytree_node=False, default=0)
+    # Per-cluster MXU tile pairs for the VMEM flat kernel (tiny scenes):
+    # [c, 0] = W1, [c, 1] = W2 (same tile contents as mxu_const, no
+    # header). Built by with_mxu_tiles.
+    mxu_tiles: jnp.ndarray = None  # (C, 2, 16, 128) f32
 
     @property
     def num_clusters(self) -> int:
@@ -256,6 +260,18 @@ def _build_mxu_blocks_np(tri_const: np.ndarray, clu_bbox: np.ndarray,
     ).max(axis=1)
     blk_valid = has_any.reshape(num_blk, branch).any(axis=1)
     return blk, _bbox_t(blk_bbox, blk_valid)
+
+
+def with_mxu_tiles(cbvh: ClusterBVH) -> ClusterBVH:
+    """Attach per-cluster MXU tile pairs (flat VMEM kernel layout)."""
+    tc = np.asarray(cbvh.tri_const)
+    num_clusters = tc.shape[0]
+    tiles = np.zeros((num_clusters, 2, 16, CLUSTER_WIDTH), np.float32)
+    tiles[:, 0, 0:3] = tc[:, 0:3]    # W1: n-weights
+    tiles[:, 0, 8:11] = tc[:, 3:6]   # W1: e1-weights
+    tiles[:, 1, 0:3] = tc[:, 6:9]    # W2: e2-weights
+    tiles[:, 1, 8:14] = tc[:, 9:15]  # W2: aux np1 p1e1 p1e2 ca cb cc
+    return cbvh.replace(mxu_tiles=jnp.asarray(tiles))
 
 
 def with_mxu_blocks(cbvh: ClusterBVH, branch: int = 32) -> ClusterBVH:

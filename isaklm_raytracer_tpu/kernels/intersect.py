@@ -520,6 +520,41 @@ def _flat_kernel(
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
 
 
+def _flat_mxu_kernel(
+    tiles_ref,  # VMEM (C, 2, 16, 128): per-cluster MXU tile pairs
+    rays_ref,  # VMEM (B, 8)
+    rayt_ref,  # VMEM (1, 8, 8, B/8) (unused; shared ray prep layout)
+    out_t_ref,  # VMEM (B, 8)
+    out_id_ref,  # VMEM (B, 8) int32
+    best_t_ref,  # VMEM scratch (B, 128)
+    best_id_ref,  # VMEM scratch (B, 128) int32
+    do_ref,  # VMEM scratch (2B, 8)
+    *,
+    t_eps: float,
+):
+    """Tiny-scene fast path with MXU dot products (see _flat_kernel and
+    _make_intersect_mxu)."""
+    batch = rays_ref.shape[0]
+    cols = _ray_columns(rays_ref)
+    act = cols[6]
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    _init_best(batch, best_t_ref, best_id_ref)
+    do_ref[:] = jnp.zeros((2 * batch, 8), jnp.float32)
+    for j in range(3):
+        do_ref[0:batch, j:j + 1] = rays_ref[:, 3 + j:4 + j]
+        do_ref[batch:2 * batch, j:j + 1] = rays_ref[:, j:j + 1]
+    intersect = _make_intersect_mxu(
+        do_ref, act, lane_id, best_t_ref, best_id_ref, t_eps
+    )
+
+    @pl.when(jnp.any(act))
+    def _():
+        for c in range(tiles_ref.shape[0]):  # static unroll
+            intersect(tiles_ref[c, 0], tiles_ref[c, 1], c)
+
+    _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
+
+
 def _blk_kernel(
     blk_bbox_t_ref,  # VMEM (8, NBp): component-major block boxes + valid row
     blk_ref,  # ANY/HBM (NB, branch + 1, 16, 128): header + cluster tiles
@@ -946,6 +981,52 @@ def nearest_hit_cluster_flat(
         ],
         interpret=interpret,
     )(tri, rays, rays_t)
+
+    return _unpack(out_t, out_id, num_rays, perm)
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+def nearest_hit_cluster_flat_mxu(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_eps: float = 1e-5,
+    active=None,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+):
+    """Flat tiny-scene kernel with MXU dot products (requires
+    accel.cluster.with_mxu_tiles). Same interface/results as
+    nearest_hit_cluster_flat."""
+    assert cbvh.mxu_tiles is not None, "run accel.cluster.with_mxu_tiles"
+    real_c = max(1, -(-cbvh.num_triangles // 128))
+    tiles = jax.lax.slice_in_dim(cbvh.mxu_tiles, 0, real_c, axis=0)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(
+        o, d, active, packet, sort_rays=False
+    )
+
+    out_t, out_id = pl.pallas_call(
+        functools.partial(_flat_mxu_kernel, t_eps=t_eps),
+        grid=(num_packets,),
+        in_specs=[
+            pl.BlockSpec(
+                (real_c, 2, 16, 128), lambda p: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_ray_specs(packet),
+        ],
+        out_specs=_out_specs(packet),
+        out_shape=[
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),
+            jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((packet, 128), jnp.float32),
+            pltpu.VMEM((packet, 128), jnp.int32),
+            pltpu.VMEM((2 * packet, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, rays, rays_t)
 
     return _unpack(out_t, out_id, num_rays, perm)
 

@@ -32,11 +32,13 @@ def main() -> None:
     from isaklm_raytracer_tpu.accel.cluster import (
         build_cluster_bvh,
         cluster_order,
+        with_mxu_tiles,
     )
     from isaklm_raytracer_tpu.accel.traverse import nearest_hit_brute
     from isaklm_raytracer_tpu.kernels.intersect import (
         nearest_hit_cluster,
         nearest_hit_cluster_flat,
+        nearest_hit_cluster_flat_mxu,
     )
 
     rng = np.random.default_rng(3)
@@ -53,7 +55,7 @@ def main() -> None:
             np.float32
         )
         verts = verts[cluster_order(verts)]
-        cbvh = build_cluster_bvh(verts)
+        cbvh = with_mxu_tiles(build_cluster_bvh(verts))
         real_c = -(-num_tris // 128)
         vj = jnp.asarray(verts)
         tb, _ib, hb = jax.block_until_ready(
@@ -64,6 +66,7 @@ def main() -> None:
         row = [f"tris={num_tris:5d} clusters={real_c:2d}"]
         for name, kern in (
             ("flat", nearest_hit_cluster_flat),
+            ("flat_mxu", nearest_hit_cluster_flat_mxu),
             ("queue", nearest_hit_cluster),
         ):
             t, i, h = jax.block_until_ready(kern(cbvh, o, d))

@@ -228,6 +228,30 @@ class TestKernelVsOracle:
         st = np.asarray(st)
         assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
 
+    def test_flat_mxu_kernel_vs_oracle(self):
+        from isaklm_raytracer_tpu.accel.cluster import with_mxu_tiles
+        from isaklm_raytracer_tpu.kernels.intersect import (
+            nearest_hit_cluster_flat_mxu,
+        )
+
+        rng = np.random.default_rng(77)
+        verts = _random_soup(rng, 700)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_mxu_tiles(build_cluster_bvh(verts))
+        o, d = _random_rays(rng, 300)
+        act = jnp.asarray(rng.random(300) > 0.3)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_flat_mxu(
+            cbvh, o, d, active=act, interpret=True
+        )
+        a = np.asarray(act)
+        np.testing.assert_array_equal(np.asarray(h0)[a], np.asarray(h1)[a])
+        same = np.asarray(h0) & a
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+
     @pytest.mark.parametrize("branch", [16, 32])
     def test_blk_kernel_mxu_vs_oracle(self, branch):
         """The MXU-layout variant (dot products as per-cluster matmuls)
