@@ -128,20 +128,9 @@ def trace_provenance(scene, config) -> dict:
 
     name = "brute"
     if scene.cbvh is not None and jax.default_backend() == "tpu":
-        from isaklm_raytracer_tpu.kernels.intersect import (
-            FLAT_CLUSTER_LIMIT,
-            VMEM_TABLE_LIMIT,
-        )
+        from isaklm_raytracer_tpu.integrator.render import intersector_name
 
-        real_c = max(1, -(-scene.cbvh.num_triangles // 128))
-        if real_c <= FLAT_CLUSTER_LIMIT:
-            name = "pallas_flat_vmem"
-        elif scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
-            name = "pallas_queue_vmem"
-        elif scene.cbvh.blk_const is not None:
-            name = f"pallas_blk_hbm{scene.cbvh.blk_branch}"
-        else:
-            name = "pallas_oct_hbm"
+        name = "pallas_" + intersector_name(scene.cbvh)
     elif scene.wkd is not None:
         name = "wavefront_kd_xla"
     elif scene.kd is not None:

@@ -65,10 +65,15 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     num_clusters = -(-max(1, -(-verts.shape[0] // CLUSTER_WIDTH))
                      // SUP_BRANCH) * SUP_BRANCH
     big = num_clusters * 16 * CLUSTER_WIDTH * 4 > VMEM_TABLE_LIMIT
-    # Big scene -> the v3 blocked HBM kernel needs the blocked table
-    # (header + 32-cluster DMA blocks); built from numpy intermediates so
-    # nothing is read back from the device.
-    cbvh = build_cluster_bvh(verts, blk_branch=32 if big else None)
+    # Big scene -> the v3/v4 blocked HBM kernels need the blocked tables
+    # (header + 32-cluster DMA blocks, plus the MXU-weight layout); built
+    # from numpy intermediates so nothing is read back from the device.
+    cbvh = build_cluster_bvh(
+        verts,
+        blk_branch=32 if big else None,
+        mxu_branch=32 if big else None,
+        mxu_tiles=not big,
+    )
 
     num = verts.shape[0]
     table = np.zeros((num, 32), np.float32)

@@ -318,14 +318,19 @@ def _bbox_t(bbox: np.ndarray, valid: np.ndarray) -> np.ndarray:
 
 
 def build_cluster_bvh(
-    vertices: np.ndarray, blk_branch: int | None = None
+    vertices: np.ndarray,
+    blk_branch: int | None = None,
+    mxu_branch: int | None = None,
+    mxu_tiles: bool = False,
 ) -> ClusterBVH:
     """Host-side build over ALREADY spatially renumbered triangles.
 
     vertices: (T, 3, 3) float32 triangle vertex positions, in the order
     produced by `cluster_order` (or `morton_order`); cluster c = triangles
-    [c*128, (c+1)*128). `blk_branch` additionally builds the blocked HBM
-    layout (v3 kernel) from the numpy intermediates.
+    [c*128, (c+1)*128). `blk_branch` / `mxu_branch` / `mxu_tiles`
+    additionally build the blocked / MXU HBM layouts from the numpy
+    intermediates (no device readback -- prefer these over the
+    with_* helpers when the arrays would otherwise live on a device).
     """
     vertices = np.asarray(vertices, np.float32)
     num_tris = vertices.shape[0]
@@ -396,6 +401,20 @@ def build_cluster_bvh(
     blk = blk_bbox_t = None
     if blk_branch is not None:
         blk, blk_bbox_t = _build_blocks_np(tri_const, clu_bbox, blk_branch)
+    mxu = None
+    if mxu_branch is not None:
+        mxu, mxu_bbox_t = _build_mxu_blocks_np(tri_const, clu_bbox, mxu_branch)
+        if blk_bbox_t is None:
+            blk_bbox_t = mxu_bbox_t
+    tiles = None
+    if mxu_tiles:
+        tiles = np.zeros(
+            (num_clusters, 2, 16, CLUSTER_WIDTH), np.float32
+        )
+        tiles[:, 0, 0:3] = tri_const[:, 0:3]
+        tiles[:, 0, 8:11] = tri_const[:, 3:6]
+        tiles[:, 1, 0:3] = tri_const[:, 6:9]
+        tiles[:, 1, 8:14] = tri_const[:, 9:15]
 
     return ClusterBVH(
         sup_bbox=jnp.asarray(sup_bbox),
@@ -408,4 +427,7 @@ def build_cluster_bvh(
         blk_const=None if blk is None else jnp.asarray(blk),
         blk_bbox_t=None if blk_bbox_t is None else jnp.asarray(blk_bbox_t),
         blk_branch=0 if blk_branch is None else blk_branch,
+        mxu_const=None if mxu is None else jnp.asarray(mxu),
+        mxu_branch=0 if mxu_branch is None else mxu_branch,
+        mxu_tiles=None if tiles is None else jnp.asarray(tiles),
     )

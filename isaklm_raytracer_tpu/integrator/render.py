@@ -35,28 +35,7 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     # Mosaic (pltpu) kernels lower only on TPU; any other accelerator falls
     # through to the pure-XLA wavefront path that works everywhere.
     if scene.cbvh is not None and backend == "tpu":
-        from isaklm_raytracer_tpu.kernels.intersect import (
-            FLAT_CLUSTER_LIMIT,
-            VMEM_TABLE_LIMIT,
-            nearest_hit_cluster,
-            nearest_hit_cluster_blk,
-            nearest_hit_cluster_flat,
-            nearest_hit_cluster_hbm,
-        )
-
-        # Packet stays at 256 for the integrator: 512 wins ~9% on a raw
-        # coherent beam (scripts/hero_sweep.py) but deep-bounce ray
-        # populations are incoherent even after the Morton resort, and a
-        # bigger packet unions more boxes per visit there.
-        real_c = max(1, -(-scene.cbvh.num_triangles // 128))
-        if real_c <= FLAT_CLUSTER_LIMIT:
-            kernel = nearest_hit_cluster_flat
-        elif scene.cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
-            kernel = nearest_hit_cluster
-        elif scene.cbvh.blk_const is not None:
-            kernel = nearest_hit_cluster_blk
-        else:
-            kernel = nearest_hit_cluster_hbm
+        kernel = _pick_cluster_kernel(scene.cbvh)
         return functools.partial(kernel, scene.cbvh, t_eps=config.t_epsilon)
     if scene.wkd is not None:
         from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront
@@ -73,6 +52,49 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     return functools.partial(
         nearest_hit_brute, vertices=scene.vertices, t_eps=config.t_epsilon
     )
+
+
+def intersector_name(cbvh) -> str:
+    """Which Pallas variant _pick_cluster_kernel selects (bench provenance).
+
+    ISAKLM_INTERSECTOR overrides the auto choice: one of flat, flat_mxu,
+    queue, hbm, blk, blk_mxu (experimentation / sweeps)."""
+    import os
+
+    from isaklm_raytracer_tpu.kernels.intersect import (
+        FLAT_CLUSTER_LIMIT,
+        VMEM_TABLE_LIMIT,
+    )
+
+    override = os.environ.get("ISAKLM_INTERSECTOR", "auto")
+    if override != "auto":
+        return override
+    real_c = max(1, -(-cbvh.num_triangles // 128))
+    if real_c <= FLAT_CLUSTER_LIMIT:
+        return "flat_mxu" if cbvh.mxu_tiles is not None else "flat"
+    if cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
+        return "queue"
+    if cbvh.mxu_const is not None:
+        return "blk_mxu"
+    if cbvh.blk_const is not None:
+        return "blk"
+    return "hbm"
+
+
+def _pick_cluster_kernel(cbvh):
+    import functools as ft
+
+    from isaklm_raytracer_tpu.kernels import intersect as ki
+
+    name = intersector_name(cbvh)
+    return {
+        "flat": ki.nearest_hit_cluster_flat,
+        "flat_mxu": ki.nearest_hit_cluster_flat_mxu,
+        "queue": ki.nearest_hit_cluster,
+        "hbm": ki.nearest_hit_cluster_hbm,
+        "blk": ki.nearest_hit_cluster_blk,
+        "blk_mxu": ft.partial(ki.nearest_hit_cluster_blk, mxu=True),
+    }[name]
 
 
 def pixel_coords(config: RenderConfig):
