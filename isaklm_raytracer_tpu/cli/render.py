@@ -220,21 +220,38 @@ def main(argv=None) -> int:
     adaptive = not args.no_adaptive
     rays_per_sample = config.num_pixels * config.max_bounces * 2
     sample = start_sample
+    retries_left = 2
     while sample < args.max_samples:
         batch = min(args.checkpoint_every, args.max_samples - sample)
         t0 = time.time()
-        if mesh is not None:
-            gbuffer = render_sharded(
-                scene, camera, config, num_samples=batch, mesh=mesh,
-                seed=args.seed, adaptive=adaptive, gbuffer=gbuffer,
-                sample_offset=sample,
-            )
-        else:
-            gbuffer = render(
-                scene, camera, config, num_samples=batch, seed=args.seed,
-                adaptive=adaptive, gbuffer=gbuffer, sample_offset=sample,
-            )
-        jax.block_until_ready(gbuffer)
+        try:
+            if mesh is not None:
+                gbuffer = render_sharded(
+                    scene, camera, config, num_samples=batch, mesh=mesh,
+                    seed=args.seed, adaptive=adaptive, gbuffer=gbuffer,
+                    sample_offset=sample,
+                )
+            else:
+                gbuffer = render(
+                    scene, camera, config, num_samples=batch, seed=args.seed,
+                    adaptive=adaptive, gbuffer=gbuffer, sample_offset=sample,
+                )
+            jax.block_until_ready(gbuffer)
+        except Exception as e:  # noqa: BLE001 -- failure recovery:
+            # a device/runtime fault mid-batch loses at most one batch;
+            # reload the last atomic checkpoint and retry (the reference
+            # loses the whole render, SURVEY.md section 5).
+            if not args.checkpoint or retries_left == 0:
+                raise
+            retries_left -= 1
+            print(f"batch failed ({type(e).__name__}: {e}); resuming from "
+                  f"checkpoint ({retries_left} retries left)", file=sys.stderr)
+            try:
+                gbuffer, camera, _, sample = load_checkpoint(args.checkpoint)
+            except FileNotFoundError:
+                gbuffer = GBuffer.create(config.num_pixels)
+                sample = 0
+            continue
         dt = time.time() - t0
         sample += batch
         counts = np.asarray(gbuffer.count)[: config.num_pixels]

@@ -228,3 +228,39 @@ def test_preview_z_key_moves_down():
     assert moved
     assert float(cam2.position[1]) == pytest.approx(1.0 - 0.25)
     assert float(cam2.position[0]) == 0.0 and float(cam2.position[2]) == 0.0
+
+
+def test_cli_batch_failure_recovers_from_checkpoint(tmp_path, monkeypatch):
+    """Failure recovery (SURVEY section 5): a fault mid-batch must lose at
+    most one checkpoint batch -- the CLI reloads the last atomic checkpoint
+    and retries instead of dying (the reference loses the whole render)."""
+    from isaklm_raytracer_tpu.cli import render as cli_render
+    from isaklm_raytracer_tpu.integrator import render as integ_render
+
+    out = str(tmp_path / "r.png")
+    ck = str(tmp_path / "ck.npz")
+    real_render = integ_render.render
+    calls = {"n": 0}
+
+    def flaky_render(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second batch dies mid-flight
+            raise RuntimeError("injected device fault")
+        return real_render(*a, **kw)
+
+    # cli main() does `from integrator.render import render` at call time
+    monkeypatch.setattr(integ_render, "render", flaky_render)
+    rc = cli_render.main([
+        "--scene", "cornell", "--width", "12", "--height", "12",
+        "--max-samples", "6", "--min-samples", "1", "--checkpoint-every", "2",
+        "--max-bounces", "3", "--ray-chunk", "0", "--devices", "1",
+        "--checkpoint", ck, "--out", out, "--no-adaptive",
+    ])
+    assert rc == 0
+    assert calls["n"] >= 4  # 3 good batches + the injected failure
+    import numpy as np
+
+    from isaklm_raytracer_tpu.io.png import load_image
+
+    img = load_image(out)
+    assert img.shape[:2] == (12, 12) and np.isfinite(img).all()
