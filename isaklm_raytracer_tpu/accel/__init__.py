@@ -71,7 +71,6 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     cbvh = build_cluster_bvh(
         verts,
         blk_branch=32 if big else None,
-        mxu_branch=32 if big else None,
         mxu_tiles=not big,
     )
 

@@ -71,13 +71,16 @@ def intersector_name(cbvh) -> str:
         return override
     real_c = max(1, -(-cbvh.num_triangles // 128))
     if real_c <= FLAT_CLUSTER_LIMIT:
-        return "flat_mxu" if cbvh.mxu_tiles is not None else "flat"
+        return "flat"
     if cbvh.vmem_bytes <= VMEM_TABLE_LIMIT:
         return "queue"
-    if cbvh.mxu_const is not None:
-        return "blk_mxu"
+    # blk (v3) beats the MXU variant at hero scale: 1.35 vs 0.94 M rays/s
+    # (scripts/blk_sweep.py, BASELINE.md) -- the per-cluster matmuls are
+    # too small to pay for their 2x DMA volume and MXU issue latency.
     if cbvh.blk_const is not None:
         return "blk"
+    if cbvh.mxu_const is not None:
+        return "blk_mxu"
     return "hbm"
 
 

@@ -71,8 +71,10 @@ DEFAULT_PACKET = 256
 VMEM_TABLE_LIMIT = 6 * 1024 * 1024
 # At or below this many REAL clusters the flat unconditional kernel beats
 # the priority-queue kernel (its per-iteration overhead exceeds the saved
-# intersections; see _flat_kernel).
-FLAT_CLUSTER_LIMIT = 16
+# intersections; see _flat_kernel). Measured on a 262K-ray beam
+# (scripts/small_sweep.py): flat wins at every size tried up to 63
+# clusters (8K tris: 3.7 vs 3.1 M rays/s; 660 tris: 7.9 vs 5.4).
+FLAT_CLUSTER_LIMIT = 64
 _INF = 3.4e38  # python scalars: jnp constants can't be captured by kernels
 _BIG_ID = 2**31 - 1
 
