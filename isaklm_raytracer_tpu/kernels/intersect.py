@@ -940,7 +940,9 @@ def nearest_hit_cluster(
     return _unpack(out_t, out_id, num_rays, perm)
 
 
-@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("t_eps", "packet", "interpret", "sort_rays")
+)
 def nearest_hit_cluster_flat(
     cbvh: ClusterBVH,
     o: jnp.ndarray,
@@ -949,17 +951,22 @@ def nearest_hit_cluster_flat(
     active=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
+    sort_rays: bool = True,
 ):
     """Batched nearest hit via the flat unconditional VMEM kernel (tiny
-    scenes, <= FLAT_CLUSTER_LIMIT real clusters). No coherence sort: every
-    packet visits the whole table regardless of ray order, so the argsort
-    would be pure overhead. Same interface/results as nearest_hit_cluster."""
+    scenes, <= FLAT_CLUSTER_LIMIT real clusters). Spatial order within a
+    packet is irrelevant (every packet visits the whole table), but the
+    coherence sort STAYS ON by default for its inactive-ray tail: deep
+    bounces and NEE calls carry sparse active masks, and packing dead
+    lanes into all-inactive packets lets them skip the unrolled intersect
+    entirely (measured: default preset 20.3 vs 16.4 M rays/s fwd).
+    Same interface/results as nearest_hit_cluster."""
     # Slice off the SUP_BRANCH padding clusters -- the flat loop visits
     # everything it is given. num_triangles is a static field.
     real_c = max(1, -(-cbvh.num_triangles // 128))
     tri = jax.lax.slice_in_dim(cbvh.tri_const, 0, real_c, axis=0)
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(
-        o, d, active, packet, sort_rays=False
+        o, d, active, packet, sort_rays=sort_rays
     )
 
     out_t, out_id = pl.pallas_call(
