@@ -35,7 +35,12 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     # Mosaic (pltpu) kernels lower only on TPU; any other accelerator falls
     # through to the pure-XLA wavefront path that works everywhere.
     if scene.cbvh is not None and backend == "tpu":
+        import os
+
         kernel = _pick_cluster_kernel(scene.cbvh)
+        packet = int(os.environ.get("ISAKLM_PACKET", "0")) or None
+        if packet:
+            kernel = functools.partial(kernel, packet=packet)
         return functools.partial(kernel, scene.cbvh, t_eps=config.t_epsilon)
     if scene.wkd is not None:
         from isaklm_raytracer_tpu.accel.wavefront import nearest_hit_wavefront
