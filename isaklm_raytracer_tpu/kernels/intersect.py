@@ -725,15 +725,15 @@ def _blk_kernel(
                 dma((base + 4 + j) & 7, i_n).start()
 
         # Visit a: the loop cond already proved it is in front of the hit
-        # front. Visits b/c/d re-check against a FRESH tmax (the front
-        # advances within the iteration); a stale block's DMA is waited but
-        # its compute is skipped.
+        # front. Visits b/c/d re-check against ONE fresh tmax taken after
+        # visit a (the big front advance; a per-visit recompute measured no
+        # better); a stale block's DMA is waited but its compute skipped.
         n_clu = visit(base, quad[0][1], tmax, n_clu)
         n_visit = n_visit + 1
+        tmax_now = _packet_tmax(best_t_ref, act, far_bound)
         for j in range(1, 4):
             def do_visit(args, j=j):
                 nv, nc = args
-                tmax_now = _packet_tmax(best_t_ref, act, far_bound)
                 nc2 = visit(
                     (base + j) & 7, quad[j][1], tmax_now, nc,
                     guard_m=quad[j][0],
