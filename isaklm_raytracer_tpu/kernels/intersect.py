@@ -17,19 +17,30 @@ a DENSE-CULL + PRIORITY-QUEUE traversal:
      early-return, trace_ray.cuh:308-314) -- no ordering heuristics, no
      wasted visits behind the first hit front.
 
-Two variants share all the maths:
+The kernel FAMILY (shared maths, picked by integrator.render
+.intersector_name; all oracle-gated in CI and by bench.py):
 
-  - `nearest_hit_cluster` (VMEM-resident): the whole (C, 16, 128) constant
-    table lives in VMEM; the queue is over CLUSTERS. For scenes up to
-    ~100K triangles.
-  - `nearest_hit_cluster_hbm` (HBM + DMA): the table stays in HBM; the
-    queue is over OCTS (8-cluster, 64KB blocks) whose constants are DMA'd
-    into a 4-slot VMEM ring -- each loop iteration retires a PAIR of octs
-    while prefetching the next pair, so HBM latency hides behind VPU work
-    and the per-iteration loop overhead (the measured bottleneck, see
-    BASELINE.md roofline) is amortized over two visits. Per-cluster slab
-    culling from the landed block's embedded bbox row. Scales to the
-    2M-triangle hero scene (README.md:12) whose table is ~128 MB.
+  - `nearest_hit_cluster_flat` (tiny scenes, <= FLAT_CLUSTER_LIMIT real
+    clusters): unconditionally intersects every cluster, fully unrolled --
+    no queue machinery at all. Fastest up to at least 63 clusters
+    (scripts/small_sweep.py).
+  - `nearest_hit_cluster` (VMEM-resident queue): the whole (C, 16, 128)
+    constant table lives in VMEM; the queue is over CLUSTERS. Mid scenes
+    up to ~100K triangles.
+  - `nearest_hit_cluster_blk` (v3, the HERO production path): the blocked
+    table stays in HBM; the queue is over 32-cluster DMA BLOCKS, each
+    prefixed by a header tile carrying component-major cluster bboxes, so
+    a landed block's clusters are culled in ONE dense VPU pass and walked
+    by an extract-min mini-queue; a QUAD of blocks retires per outer
+    iteration over an 8-slot DMA ring, visits b/c/d guarded by a fresh
+    packet tmax (their DMA is waited, stale compute skipped). 1.5 M
+    rays/s on the hero integrator (BASELINE.md round 4).
+  - `nearest_hit_cluster_blk(mxu=True)` / `nearest_hit_cluster_flat_mxu`:
+    documented NEGATIVE result -- the six ray/tri dot products as
+    per-cluster (2B, 8) @ (8, 128) MXU matmuls measured SLOWER (too-small
+    matmuls + 2x DMA volume).
+  - `nearest_hit_cluster_hbm` (v2): the 8-cluster-oct pair-visit
+    predecessor of blk, kept as the no-extra-table fallback.
 
 Design rules that make this fast on the VPU:
   - NO per-ray gathers or scatters anywhere: triangle constants stream in
@@ -959,7 +970,7 @@ def nearest_hit_cluster_flat(
     coherence sort STAYS ON by default for its inactive-ray tail: deep
     bounces and NEE calls carry sparse active masks, and packing dead
     lanes into all-inactive packets lets them skip the unrolled intersect
-    entirely (measured: default preset 20.3 vs 16.4 M rays/s fwd).
+    entirely (measured: default preset 21.7 vs 16.4 M rays/s fwd).
     Same interface/results as nearest_hit_cluster."""
     # Slice off the SUP_BRANCH padding clusters -- the flat loop visits
     # everything it is given. num_triangles is a static field.
