@@ -436,8 +436,13 @@ def sharded_value_and_grad_fn(
             local_loss, argnums=(0, 1), has_aux=True
         )(floats, pose)
         # Cross-device reduction: tile-partial losses sum; gradients of the
-        # replicated params all-reduce over both axes. XLA schedules these
-        # collectives to overlap with the backward wavefront. Both loss and
+        # replicated params all-reduce over both axes. The psum sits inside
+        # the jitted step after the local backward, which is what LETS XLA
+        # overlap it with remaining backward work on TPU; the collective's
+        # critical-path cost is measured by scripts/overlap_probe.py
+        # (BASELINE.md: ~18% un-overlapped on the CPU mesh, whose
+        # collectives are synchronous memcpys -- the upper bound).
+        # Both loss and
         # grads divide by the sample-axis size so the optimized objective is
         # the MEAN over sample streams -- summing grads but averaging the
         # loss (round 1) silently scaled the step by num_sample.
