@@ -35,6 +35,16 @@ def render_case(name: str) -> np.ndarray:
         scene = prepare_scene(procedural.material_demo_scene(textured=True))
         camera = Camera.create((0.0, 1.2, -1.8), pitch=0.15, fov=np.pi / 2)
         spp = 2
+    elif name == "hero_small_32":
+        # downscaled hero generator (terrain + sphere field + area light):
+        # pins the big-scene asset path -- metallic/transparent materials,
+        # emissive scan, cluster renumbering -- at CI scale
+        config = RenderConfig(
+            width=32, height=32, max_bounces=3, ray_chunk=0, min_samples=1
+        )
+        scene = prepare_scene(procedural.hero_scene(20_000))
+        camera = Camera.create((0.0, 2.0, -6.0), fov=np.pi / 2)
+        spp = 2
     else:  # pragma: no cover
         raise KeyError(name)
 
@@ -42,4 +52,4 @@ def render_case(name: str) -> np.ndarray:
     return np.asarray(resolve_image(gb, config))
 
 
-GOLDENS = ("cornell_64", "demo_textured_64")
+GOLDENS = ("cornell_64", "demo_textured_64", "hero_small_32")
