@@ -1052,7 +1052,9 @@ def nearest_hit_cluster_flat_mxu(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_eps", "packet", "interpret", "stats", "mxu")
+    jax.jit,
+    static_argnames=("t_eps", "packet", "interpret", "stats", "mxu",
+                     "sort_rays"),
 )
 def nearest_hit_cluster_blk(
     cbvh: ClusterBVH,
@@ -1064,6 +1066,7 @@ def nearest_hit_cluster_blk(
     interpret: bool = False,
     stats: bool = False,
     mxu: bool = False,
+    sort_rays: bool = True,
 ):
     """Batched nearest hit via the v3 blocked HBM kernel (big scenes).
 
@@ -1075,7 +1078,9 @@ def nearest_hit_cluster_blk(
     table = cbvh.mxu_const if mxu else cbvh.blk_const
     assert table is not None, "run accel.cluster.with_blocks/with_mxu_blocks"
     branch = cbvh.mxu_branch if mxu else cbvh.blk_branch
-    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(
+        o, d, active, packet, sort_rays=sort_rays
+    )
 
     out_shape = [
         jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),

@@ -1,4 +1,6 @@
-"""Decompose the HBM kernel's fixed per-packet cost (BASELINE.md roofline).
+"""Decompose the HBM kernels' fixed per-packet cost (BASELINE.md roofline).
+
+--kernel blk (default, the v3 production path) or oct (the v2 kernel).
 
 Three ray populations on the 2M-tri hero scene, all 65,536 rays:
   miss     -- rays outside the scene pointing away: ~0 oct visits, so
@@ -27,6 +29,7 @@ def main() -> None:
     ap.add_argument("--rays", type=int, default=65536)
     ap.add_argument("--tris", type=int, default=2_000_000)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--kernel", default="blk", choices=["blk", "oct"])
     args = ap.parse_args()
 
     import jax
@@ -34,13 +37,20 @@ def main() -> None:
     import numpy as np
 
     from isaklm_raytracer_tpu.accel.cluster import build_cluster_bvh, cluster_order
-    from isaklm_raytracer_tpu.kernels.intersect import nearest_hit_cluster_hbm
+    from isaklm_raytracer_tpu.kernels.intersect import (
+        nearest_hit_cluster_blk,
+        nearest_hit_cluster_hbm,
+    )
     from isaklm_raytracer_tpu.scene import procedural
 
     scene = procedural.hero_scene(args.tris)
     verts = np.asarray(scene.vertices)
     verts = verts[cluster_order(verts)]
-    cbvh = build_cluster_bvh(verts)
+    cbvh = build_cluster_bvh(
+        verts, blk_branch=32 if args.kernel == "blk" else None
+    )
+    kern_fn = (nearest_hit_cluster_blk if args.kernel == "blk"
+               else nearest_hit_cluster_hbm)
     lo = verts.reshape(-1, 3).min(axis=0)
     hi = verts.reshape(-1, 3).max(axis=0)
     rng = np.random.default_rng(1)
@@ -70,16 +80,14 @@ def main() -> None:
         rows = []
         for name, (o, d) in pops.items():
             o_j, d_j = jnp.asarray(o), jnp.asarray(d)
-            kern = lambda: nearest_hit_cluster_hbm(cbvh, o_j, d_j, packet=packet)
+            kern = lambda: kern_fn(cbvh, o_j, d_j, packet=packet)
             jax.block_until_ready(kern())
             jax.block_until_ready(kern())
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 jax.block_until_ready(kern())
             dt = (time.perf_counter() - t0) / args.steps
-            *_, st = nearest_hit_cluster_hbm(
-                cbvh, o_j, d_j, packet=packet, stats=True
-            )
+            *_, st = kern_fn(cbvh, o_j, d_j, packet=packet, stats=True)
             visits = float(np.asarray(st)[:, 0].mean())
             packets = n // packet
             rows.append((name, dt, visits, packets))
