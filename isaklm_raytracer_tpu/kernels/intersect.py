@@ -74,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from isaklm_raytracer_tpu.accel.cluster import OCT_BRANCH, ClusterBVH, with_blocks
+from isaklm_raytracer_tpu.accel.cluster import OCT_BRANCH, ClusterBVH
 
 DEFAULT_PACKET = 256
 # VMEM budget for the resident-table kernel; beyond this the HBM+DMA
