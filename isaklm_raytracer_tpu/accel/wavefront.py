@@ -24,7 +24,6 @@ the exit clamp.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
