@@ -373,7 +373,8 @@ def main() -> None:
             "value", "vs_baseline", "triangles", "resolution", "max_bounces",
             "fwd_ms_per_sample", "kernel_check_rays", "kernel_check_max_rel_dt",
             "intersector", "ordering", "fwd_bwd_ms_per_sample",
-            "rays_per_sec_fwd_bwd",
+            "rays_per_sec_fwd_bwd", "blk_visits_per_packet_mean",
+            "blk_visits_per_packet_p95", "blk_clusters_per_packet_mean",
         )
         try:
             hero = run_preset(
