@@ -49,11 +49,13 @@ def build_bench(preset: str):
     elif preset == "hero":
         # 2M-triangle scene (the reference hero size, README.md:12). The
         # render window is kept at 640x360 so one jitted sample stays well
-        # under the tunnel's ~60s single-execution ceiling; rays/s is what
-        # the metric tracks and is resolution-independent at this scale.
+        # under the tunnel's ~60s single-execution ceiling; the hero_1080p
+        # block measures the SAME scene at configs[3]'s native 1920x1080.
+        # >= 4 timed steps with the per-step spread recorded (VERDICT r4
+        # weak #2: the chip drifts +-10-20%, so 2 steps was too thin).
         config = RenderConfig(width=640, height=360, max_bounces=6)
         scene = procedural.hero_scene(2_000_000)
-        steps, warmup = 2, 1
+        steps, warmup = 4, 1
     else:
         config = RenderConfig(width=512, height=512, max_bounces=8)
         scene = procedural.material_demo_scene()
@@ -138,13 +140,18 @@ def trace_provenance(scene, config) -> dict:
     return {"intersector": name, "ordering": "cluster_order"}
 
 
-def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
+def run_preset(preset: str, log, no_check=False, no_bwd=False,
+               stash: dict | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from isaklm_raytracer_tpu.integrator.render import render_sample
 
     scene, camera, config, steps, warmup = build_bench(preset)
+    if stash is not None:
+        # hand the prepared scene to follow-up blocks (hero_1080p reuses
+        # the 2M-tri build instead of paying another ~90s host build)
+        stash["scene"], stash["camera"] = scene, camera
     device = jax.devices()[0]
     log(f"bench: preset={preset} device={device.device_kind} "
         f"tris={scene.num_triangles} res={config.width}x{config.height} "
@@ -171,10 +178,12 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
 
     for i in range(warmup):
         fwd(scene, jax.random.fold_in(key, i)).block_until_ready()
-    t0 = time.perf_counter()
+    step_times = []
     for i in range(steps):
+        t0 = time.perf_counter()
         fwd(scene, jax.random.fold_in(key, 100 + i)).block_until_ready()
-    fwd_time = (time.perf_counter() - t0) / steps
+        step_times.append(time.perf_counter() - t0)
+    fwd_time = sum(step_times) / steps
 
     rays_per_sample = config.num_pixels * config.max_bounces * 2
     fwd_rays = rays_per_sample / fwd_time
@@ -189,6 +198,8 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
         "resolution": f"{config.width}x{config.height}",
         "max_bounces": config.max_bounces,
         "fwd_ms_per_sample": round(fwd_time * 1e3, 2),
+        # per-step wall clocks: makes chip drift visible in the artifact
+        "fwd_step_times_ms": [round(t * 1e3, 1) for t in step_times],
         **check_fields,
     }
 
@@ -211,7 +222,17 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
             camera, config.width, config.height, ids % config.width,
             ids // config.width, cam_u,
         )
-        *_, st = nearest_hit_cluster_blk(scene.cbvh, o, dirs, stats=True)
+        from isaklm_raytracer_tpu.integrator.render import (
+            blk_per_ray,
+            blk_sort_mode,
+        )
+
+        per_ray = blk_per_ray(scene.cbvh)
+        sort_mode = {"block": "block", "morton": True}[blk_sort_mode()]
+        *_, st = nearest_hit_cluster_blk(
+            scene.cbvh, o, dirs, stats=True, per_ray=per_ray,
+            sort_rays=sort_mode,
+        )
         st = np.asarray(st)
         result["blk_visits_per_packet_mean"] = round(float(st[:, 0].mean()), 1)
         result["blk_visits_per_packet_p95"] = round(
@@ -220,6 +241,49 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False) -> dict:
         result["blk_clusters_per_packet_mean"] = round(
             float(st[:, 1].mean()), 1
         )
+        result["blk_per_ray"] = bool(per_ray)
+
+        # Deep-bounce population row (VERDICT r4 missing #3): origins ON
+        # scene surfaces, random directions, FRESH inputs per timed call
+        # (the tunnel dedupes identical executions). This is the metric
+        # the round-5 incoherent-ray work is judged on, driver-captured.
+        verts_np = np.asarray(scene.vertices)
+        rng_np = np.random.default_rng(7)
+        n_b = 65536
+        binputs = []
+        for _ in range(4):
+            pick = rng_np.integers(0, verts_np.shape[0], n_b)
+            bo = verts_np[pick, 0] + 1e-3
+            bd = rng_np.standard_normal((n_b, 3)).astype(np.float32)
+            bd /= np.linalg.norm(bd, axis=1, keepdims=True)
+            binputs.append((jnp.asarray(bo), jnp.asarray(bd)))
+
+        def bounce_kern(bo, bd):
+            return nearest_hit_cluster_blk(
+                scene.cbvh, bo, bd, per_ray=per_ray, sort_rays=sort_mode
+            )
+
+        jax.block_until_ready(bounce_kern(*binputs[-1])[0])
+        btimes = []
+        for r in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(bounce_kern(*binputs[r])[0])
+            btimes.append(time.perf_counter() - t0)
+        bmed = sorted(btimes)[1]
+        *_, bst = nearest_hit_cluster_blk(
+            scene.cbvh, *binputs[0], stats=True, per_ray=per_ray,
+            sort_rays=sort_mode,
+        )
+        bst = np.asarray(bst)
+        result["bounce_population"] = {
+            "rays_per_sec": round(n_b / bmed),
+            "step_times_ms": [round(t * 1e3, 1) for t in btimes],
+            "visits_per_packet_mean": round(float(bst[:, 0].mean()), 1),
+            "clusters_per_packet_mean": round(float(bst[:, 1].mean()), 1),
+            "per_ray": bool(per_ray),
+        }
+        log(f"bounce population: {n_b / bmed / 1e6:.2f} M rays/s "
+            f"(visits/packet {bst[:, 0].mean():.1f})")
 
     if preset != "hero":
         # Adaptive compute-skipping (path_tracing.cuh:347-379 parity): step
@@ -346,6 +410,86 @@ def run_adaptive_1080p(log) -> dict:
     return out
 
 
+def run_hero_1080p(log, scene, camera) -> dict:
+    """configs[3] at its STATED operating point (BASELINE.json: '2M-triangle
+    README hero scene ... 1080p @ 1000 spp'; macros.h:3-4): the 2M-tri
+    scene at 1920x1080 -- uniform step ms/sample plus the 95%-converged
+    adaptive tail step that dominates a 1000-spp render (VERDICT r4
+    missing #2: this number had never been measured; the adaptive_1080p
+    block uses the 660-tri demo scene). Reuses the hero preset's prepared
+    scene, which the oracle gate already checked this run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isaklm_raytracer_tpu.config import RenderConfig
+    from isaklm_raytracer_tpu.integrator.render import (
+        compact_bucket,
+        make_compact_step_fn,
+        make_step_fn,
+    )
+    from isaklm_raytracer_tpu.scene.types import GBuffer
+
+    config = RenderConfig(width=1920, height=1080, max_bounces=6)
+    key = jax.random.PRNGKey(0)
+    rays_per_sample = config.num_pixels * config.max_bounces * 2
+
+    step = make_step_fn(config)
+    t0 = time.perf_counter()
+    gb = step(scene, camera, GBuffer.create(config.num_pixels), key, False)
+    jax.block_until_ready(gb)
+    log(f"hero 1080p uniform compile+step: {time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        gb = step(scene, camera, gb, jax.random.fold_in(key, 1 + i), False)
+        jax.block_until_ready(gb)
+        times.append(time.perf_counter() - t0)
+    full_time = sum(times) / len(times)
+
+    # 95%-converged adaptive tail step (the dominant phase at 1000 spp)
+    rng_np = np.random.default_rng(0)
+    conv = rng_np.random(config.num_pixels) < 0.95
+    counts = np.where(conv, config.max_samples, 0).astype(np.int32)
+    gb = GBuffer(
+        frame=jnp.zeros((config.num_pixels, 3), jnp.float32),
+        sq_luminance=jnp.zeros((config.num_pixels,), jnp.float32),
+        count=jnp.asarray(counts),
+    )
+    n_active = int((~conv).sum())
+    bucket = compact_bucket(n_active, config.num_pixels, config.min_wavefront)
+    cstep = make_compact_step_fn(config, bucket)
+    gb = cstep(scene, camera, gb, key)
+    jax.block_until_ready(gb)
+    atimes = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        gb = cstep(scene, camera, gb, jax.random.fold_in(key, 300 + i))
+        jax.block_until_ready(gb)
+        atimes.append(time.perf_counter() - t0)
+    adaptive_time = sorted(atimes)[1]
+
+    out = {
+        "resolution": "1920x1080",
+        "triangles": scene.num_triangles,
+        "max_bounces": config.max_bounces,
+        "fwd_ms_per_sample": round(full_time * 1e3, 1),
+        "fwd_step_times_ms": [round(t * 1e3, 1) for t in times],
+        "rays_per_sec_fwd": round(rays_per_sample / full_time),
+        "converged_fraction": 0.95,
+        "adaptive_ms_per_step": round(adaptive_time * 1e3, 1),
+        "adaptive_speedup": round(full_time / adaptive_time, 2),
+        "ideal_speedup": round(config.num_pixels / bucket, 2),
+        "bucket": bucket,
+        "oracle_gate": "hero preset (same scene + intersector, this run)",
+    }
+    log(f"hero 1080p: {full_time:.2f} s/sample uniform "
+        f"({rays_per_sample / full_time / 1e6:.2f} M rays/s); adaptive tail "
+        f"{adaptive_time * 1e3:.0f} ms/step ({out['adaptive_speedup']}x of "
+        f"ideal {out['ideal_speedup']}x)")
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -371,14 +515,18 @@ def main() -> None:
         )
         hero_keep = (
             "value", "vs_baseline", "triangles", "resolution", "max_bounces",
-            "fwd_ms_per_sample", "kernel_check_rays", "kernel_check_max_rel_dt",
+            "fwd_ms_per_sample", "fwd_step_times_ms", "kernel_check_rays",
+            "kernel_check_max_rel_dt",
             "intersector", "ordering", "fwd_bwd_ms_per_sample",
             "rays_per_sec_fwd_bwd", "blk_visits_per_packet_mean",
             "blk_visits_per_packet_p95", "blk_clusters_per_packet_mean",
+            "blk_per_ray", "bounce_population",
         )
+        stash = {}
         try:
             hero = run_preset(
-                "hero", log, no_check=args.no_check, no_bwd=args.no_bwd
+                "hero", log, no_check=args.no_check, no_bwd=args.no_bwd,
+                stash=stash,
             )
             result["hero"] = {
                 ("rays_per_sec_fwd" if k == "value" else k): hero[k]
@@ -386,6 +534,14 @@ def main() -> None:
             }
         except Exception as e:  # hero must not mask the default artifact
             result["hero"] = {"error": repr(e)[:300]}
+        try:
+            # configs[3] at its stated 1920x1080 operating point, on the
+            # hero scene prepared above (VERDICT r4 missing #2)
+            result["hero_1080p"] = run_hero_1080p(
+                log, stash["scene"], stash["camera"]
+            )
+        except Exception as e:
+            result["hero_1080p"] = {"error": repr(e)[:300]}
         try:
             result["adaptive_1080p"] = run_adaptive_1080p(log)
         except Exception as e:

@@ -59,11 +59,11 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     )
 
     verts = verts[order]
-    from isaklm_raytracer_tpu.accel.cluster import CLUSTER_WIDTH, SUP_BRANCH
+    from isaklm_raytracer_tpu.accel.cluster import CLUSTER_PAD, CLUSTER_WIDTH
     from isaklm_raytracer_tpu.kernels.intersect import VMEM_TABLE_LIMIT
 
     num_clusters = -(-max(1, -(-verts.shape[0] // CLUSTER_WIDTH))
-                     // SUP_BRANCH) * SUP_BRANCH
+                     // CLUSTER_PAD) * CLUSTER_PAD
     big = num_clusters * 16 * CLUSTER_WIDTH * 4 > VMEM_TABLE_LIMIT
     # Big scene -> the v3/v4 blocked HBM kernels need the blocked tables
     # (header + 32-cluster DMA blocks, plus the MXU-weight layout); built

@@ -5,8 +5,7 @@ Instead of translating the reference's per-ray stackful KD walk
 on vector hardware -- triangles are spatially renumbered (any permutation
 works; production uses `cluster_order` median splits, `morton_order` is the
 simpler alternative) and packed into fixed-width CLUSTERS of 128 (one VPU
-lane each),
-grouped into SUPERCLUSTERS of 64 clusters. Each cluster stores a compact
+lane each). Each cluster stores a compact
 (16, 128) f32 constant block (one padded VREG tile) holding everything the
 intersection test needs, precomputed:
 
@@ -37,8 +36,14 @@ import numpy as np
 from flax import struct
 
 CLUSTER_WIDTH = 128  # triangles per cluster = one lane dim
-OCT_BRANCH = 8  # clusters per oct (the DMA unit of the big-scene kernel)
-SUP_BRANCH = 64  # clusters per supercluster
+OCT_BRANCH = 8  # clusters per oct (the DMA unit of the v2 big-scene kernel)
+# Cluster-count padding granularity: every table builder below divides the
+# padded count (oct/blk grouping, bbox 128-lane padding). A 64-multiple
+# keeps all power-of-two branches <= 64 valid without per-layout repads.
+# (Historic name SUP_BRANCH: a supercluster bbox level was built over this
+# granularity through round 4 but never consumed by any kernel -- deleted
+# in round 5, VERDICT r4 missing #4.)
+CLUSTER_PAD = 64
 
 
 @struct.dataclass
@@ -53,7 +58,6 @@ class ClusterBVH:
     triangle ids as c*128 + lane with no id table and no gathers.
     """
 
-    sup_bbox: jnp.ndarray  # (S, 8) f32: min xyz, max xyz, pad pad
     oct_bbox: jnp.ndarray  # (C/8, 8) f32 -- merged boxes of 8-cluster octs
     clu_bbox: jnp.ndarray  # (C, 8) f32
     tri_const: jnp.ndarray  # (C, 16, 128) f32 (see module docstring)
@@ -167,7 +171,7 @@ def cluster_order(vertices: np.ndarray) -> np.ndarray:
 def with_oct_branch(cbvh: ClusterBVH, branch: int) -> ClusterBVH:
     """Rebuild the oct tables for a different DMA block size (clusters per
     oct). `branch` must divide num_clusters (always true for powers of two
-    <= SUP_BRANCH: the cluster count is padded to a SUP_BRANCH multiple).
+    <= CLUSTER_PAD: the cluster count is padded to a CLUSTER_PAD multiple).
     Used by the kernel-perf sweep; the kernels take the matching
     `oct_branch` static argument."""
     clu_bbox = np.asarray(cbvh.clu_bbox)
@@ -292,7 +296,7 @@ def with_blocks(cbvh: ClusterBVH, branch: int = 32) -> ClusterBVH:
     `branch` consecutive clusters, each prefixed by a header tile carrying
     the component-major cluster bboxes, so the v3 kernel culls a landed
     block's clusters vectorized. `branch` <= 128 (header lanes) and must
-    divide the (SUP_BRANCH-padded) cluster count.
+    divide the (CLUSTER_PAD-padded) cluster count.
 
     NOTE: reads tri_const back to host -- at hero scale prefer
     build_cluster_bvh(verts, blk_branch=...) which builds the blocks from
@@ -336,8 +340,7 @@ def build_cluster_bvh(
     num_tris = vertices.shape[0]
 
     num_clusters = max(1, -(-num_tris // CLUSTER_WIDTH))
-    num_clusters = -(-num_clusters // SUP_BRANCH) * SUP_BRANCH  # pad to S*64
-    num_sup = num_clusters // SUP_BRANCH
+    num_clusters = -(-num_clusters // CLUSTER_PAD) * CLUSTER_PAD
 
     tri_ids = np.full(num_clusters * CLUSTER_WIDTH, -1, np.int64)
     tri_ids[:num_tris] = np.arange(num_tris)
@@ -385,11 +388,6 @@ def build_cluster_bvh(
 
     tri_const[:, 15, 0:8] = clu_bbox
 
-    sup_bbox = np.zeros((num_sup, 8), np.float32)
-    grouped = clu_bbox.reshape(num_sup, SUP_BRANCH, 8)
-    sup_bbox[:, 0:3] = grouped[:, :, 0:3].min(axis=1)
-    sup_bbox[:, 3:6] = grouped[:, :, 3:6].max(axis=1)
-
     num_oct = num_clusters // OCT_BRANCH
     oct_bbox = np.zeros((num_oct, 8), np.float32)
     og = clu_bbox.reshape(num_oct, OCT_BRANCH, 8)
@@ -417,7 +415,6 @@ def build_cluster_bvh(
         tiles[:, 1, 8:14] = tri_const[:, 9:15]
 
     return ClusterBVH(
-        sup_bbox=jnp.asarray(sup_bbox),
         oct_bbox=jnp.asarray(oct_bbox),
         clu_bbox=jnp.asarray(clu_bbox),
         tri_const=jnp.asarray(tri_const),

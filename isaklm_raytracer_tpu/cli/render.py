@@ -211,9 +211,18 @@ def main(argv=None) -> int:
     if gbuffer is None:
         gbuffer = GBuffer.create(config.num_pixels)
 
+    # is_sharded tracks the G-buffer's layout EXPLICITLY (a shape test is
+    # fragile: when num_pixels divides the tile count the padded total
+    # equals num_pixels and a sharded array would masquerade as plain).
+    is_sharded = False
+
     def plain(gb):
-        """Gather a (possibly tile-sharded) G-buffer to (num_pixels,)."""
-        if mesh is not None and gb.frame.shape[0] != config.num_pixels:
+        """Gather a (possibly tile-sharded) G-buffer to (num_pixels,).
+
+        COLLECTIVE under multi-host (process_allgather): every process
+        must call it, so callers gather BEFORE any process_index() guard.
+        """
+        if is_sharded:
             return unshard_gbuffer(gb, config)
         return gb
 
@@ -231,6 +240,7 @@ def main(argv=None) -> int:
                     seed=args.seed, adaptive=adaptive, gbuffer=gbuffer,
                     sample_offset=sample,
                 )
+                is_sharded = True
             else:
                 gbuffer = render(
                     scene, camera, config, num_samples=batch, seed=args.seed,
@@ -251,25 +261,44 @@ def main(argv=None) -> int:
             except FileNotFoundError:
                 gbuffer = GBuffer.create(config.num_pixels)
                 sample = 0
+            is_sharded = False  # checkpoints hold the plain layout
             continue
         dt = time.time() - t0
         sample += batch
-        counts = np.asarray(gbuffer.count)[: config.num_pixels]
-        converged = float((counts >= config.min_samples).mean())
+        if is_sharded:
+            # Replicated jitted reduction: np.asarray on the tile-sharded
+            # count vector would raise on non-addressable shards when the
+            # mesh spans processes (--multihost).
+            from isaklm_raytracer_tpu.dist.sharding import gbuffer_progress
+
+            min_spp, converged, n_unconverged = gbuffer_progress(
+                gbuffer, config, mesh
+            )
+        else:
+            counts = np.asarray(gbuffer.count)[: config.num_pixels]
+            min_spp = int(counts.min())
+            converged = float((counts >= config.min_samples).mean())
+            n_unconverged = None  # computed lazily below
         print(
             f"sample {sample}/{args.max_samples}: {dt / batch * 1e3:.0f} ms/sample, "
             f"{rays_per_sample * batch / dt / 1e6:.1f} Mrays/s, "
-            f"min spp {counts.min()}, converged {converged:.0%}",
+            f"min spp {min_spp}, converged {converged:.0%}",
             file=sys.stderr,
         )
-        if args.checkpoint and jax.process_index() == 0:
-            save_checkpoint(
-                args.checkpoint, plain(gbuffer), camera, args.seed, sample
-            )
-        if adaptive and counts.min() >= config.min_samples:
-            from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
+        if args.checkpoint:
+            gb_plain = plain(gbuffer)  # collective: outside the rank guard
+            if jax.process_index() == 0:
+                save_checkpoint(
+                    args.checkpoint, gb_plain, camera, args.seed, sample
+                )
+        if adaptive and min_spp >= config.min_samples:
+            if n_unconverged is None:
+                from isaklm_raytracer_tpu.integrator.adaptive import needs_sample
 
-            if not bool(np.asarray(needs_sample(plain(gbuffer), config)).any()):
+                n_unconverged = int(
+                    np.asarray(needs_sample(gbuffer, config)).sum()
+                )
+            if n_unconverged == 0:
                 print("all pixels converged", file=sys.stderr)
                 break
 

@@ -59,11 +59,20 @@ def make_trace_fn(scene: Scene, config: RenderConfig):
     )
 
 
+_INTERSECTOR_NAMES = ("flat", "flat_mxu", "queue", "hbm", "blk", "blk_mxu")
+
+
 def intersector_name(cbvh) -> str:
     """Which Pallas variant _pick_cluster_kernel selects (bench provenance).
 
     ISAKLM_INTERSECTOR overrides the auto choice: one of flat, flat_mxu,
-    queue, hbm, blk, blk_mxu (experimentation / sweeps)."""
+    queue, hbm, blk, blk_mxu (experimentation / sweeps). Of these only
+    flat, queue and blk are ever auto-selected for scenes prepare_scene
+    produces; hbm (the v2 oct kernel) and the mxu variants are kept as
+    manual-override fallbacks / documented negative results (BASELINE.md).
+    The override is validated here (name AND table availability) so a typo
+    or a missing block table fails with a clear message at selection time
+    instead of an opaque KeyError/AssertionError inside the kernel."""
     import os
 
     from isaklm_raytracer_tpu.kernels.intersect import (
@@ -73,6 +82,21 @@ def intersector_name(cbvh) -> str:
 
     override = os.environ.get("ISAKLM_INTERSECTOR", "auto")
     if override != "auto":
+        if override not in _INTERSECTOR_NAMES:
+            raise ValueError(
+                f"ISAKLM_INTERSECTOR={override!r}: unknown intersector "
+                f"(expected one of {_INTERSECTOR_NAMES} or 'auto')"
+            )
+        needs = {
+            "blk": "blk_const", "blk_mxu": "mxu_const",
+            "flat_mxu": "mxu_tiles",
+        }.get(override)
+        if needs is not None and getattr(cbvh, needs) is None:
+            raise ValueError(
+                f"ISAKLM_INTERSECTOR={override!r} needs cbvh.{needs}; this "
+                "scene was prepared without that table (see "
+                "accel.cluster.with_blocks / with_mxu_blocks / with_mxu_tiles)"
+            )
         return override
     real_c = max(1, -(-cbvh.num_triangles // 128))
     if real_c <= FLAT_CLUSTER_LIMIT:
@@ -89,6 +113,37 @@ def intersector_name(cbvh) -> str:
     return "hbm"
 
 
+def blk_sort_mode() -> str:
+    """Ray ordering for the blk intersector: "morton" (default; the
+    origin/direction Morton key) or "block" (exact first-needed-block
+    binning via kernels.intersect.first_block_keys -- kept as a DOCUMENTED
+    NEGATIVE result: measured no better on bounce rays and 4x worse on
+    coherent beams, BASELINE.md round 5). Override with ISAKLM_BLK_SORT."""
+    import os
+
+    mode = os.environ.get("ISAKLM_BLK_SORT", "morton")
+    if mode not in ("block", "morton"):
+        raise ValueError(
+            f"ISAKLM_BLK_SORT={mode!r}: expected 'block' or 'morton'"
+        )
+    return mode
+
+
+def blk_per_ray(cbvh) -> bool:
+    """Whether the blk intersector runs in per-ray-early-termination mode
+    (kernels.intersect._blk_kernel per_ray=True -- the round-5 incoherent
+    ray path). Default on whenever the (packet x NBp) entry matrix fits
+    the kernel's VMEM budget; ISAKLM_BLK_PER_RAY=0/1 overrides."""
+    import os
+
+    override = os.environ.get("ISAKLM_BLK_PER_RAY")
+    if override is not None:
+        return override not in ("0", "false", "off")
+    packet = int(os.environ.get("ISAKLM_PACKET", "0")) or 256
+    nbp = cbvh.blk_bbox_t.shape[1] if cbvh.blk_bbox_t is not None else 0
+    return 0 < packet * nbp * 4 <= 6 * 1024 * 1024
+
+
 def _pick_cluster_kernel(cbvh):
     import functools as ft
 
@@ -100,7 +155,11 @@ def _pick_cluster_kernel(cbvh):
         "flat_mxu": ki.nearest_hit_cluster_flat_mxu,
         "queue": ki.nearest_hit_cluster,
         "hbm": ki.nearest_hit_cluster_hbm,
-        "blk": ki.nearest_hit_cluster_blk,
+        "blk": ft.partial(
+            ki.nearest_hit_cluster_blk,
+            sort_rays={"block": "block", "morton": True}[blk_sort_mode()],
+            per_ray=blk_per_ray(cbvh),
+        ),
         "blk_mxu": ft.partial(ki.nearest_hit_cluster_blk, mxu=True),
     }[name]
 

@@ -580,6 +580,7 @@ def _blk_kernel(
     stats: bool = False,
     branch: int = 32,
     mxu: bool = False,
+    per_ray: bool = False,
 ):
     """v3 big-scene kernel: QUAD-visit DMA pipeline over BLOCKED clusters.
 
@@ -599,12 +600,30 @@ def _blk_kernel(
 
     Visits b/c/d of a quad skip the early-exit re-check (their DMAs are in
     flight and must be waited anyway): at most 3 extra block visits per
-    packet on the final iteration."""
+    packet on the final iteration.
+
+    per_ray=True (v4, the round-5 incoherent-ray path): the full (B, NBp)
+    block-entry matrix is kept in VMEM scratch and the visitation keys are
+    recomputed every iteration as min-over-rays of entries STRICTLY BELOW
+    EACH RAY'S OWN running best t -- per-ray early termination instead of
+    the global packet tmax. A resolved ray stops contributing need for ANY
+    further block, so visits collapse to the union of per-ray NEEDED
+    blocks rather than the union of pierced blocks within the slowest
+    ray's front. On the deep-bounce population the pierced union is ~250
+    of 488 blocks while the needed union is ~the packet's origin blocks
+    (bounce rays start ON geometry: entry 0, usually hit there), which is
+    the structural gap the round-4 global-tmax kernel could not close
+    (BASELINE.md round-4 analysis; reference per-thread equivalent:
+    trace_ray.cuh:244-318 where each SIMT thread's walk ends at its own
+    first hit)."""
     if stats:
         out_stats_ref, *rest = rest
     if mxu:
         (best_t_ref, best_id_ref, near_ref, mask_ref, do_ref, buf_ref,
          sems) = rest
+    elif per_ray:
+        (best_t_ref, best_id_ref, near_ref, mask_ref, near_all_ref,
+         visited_ref, buf_ref, sems) = rest
     else:
         (best_t_ref, best_id_ref, near_ref, mask_ref, buf_ref, sems) = rest
     batch = rays_ref.shape[0]
@@ -630,9 +649,64 @@ def _blk_kernel(
     ox, oy, oz, dx, dy, dz, _ = cols
     ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
 
-    keys, far_bound = _dense_near(blk_bbox_t_ref, rays_ref, t_eps)
-    near_ref[0:1, :] = keys
-    extract = _make_extract(near_ref)
+    if per_ray:
+        # Dense phase, matrix form: keep every ray's clamped block-entry
+        # distance (+inf where the ray does not pierce the block) so the
+        # keys can be re-derived per iteration under per-ray bounds.
+        bx0, by0, bz0 = (blk_bbox_t_ref[0:1, :], blk_bbox_t_ref[1:2, :],
+                         blk_bbox_t_ref[2:3, :])
+        bx1, by1, bz1 = (blk_bbox_t_ref[3:4, :], blk_bbox_t_ref[4:5, :],
+                         blk_bbox_t_ref[5:6, :])
+        bvalid = blk_bbox_t_ref[6:7, :] > 0.0
+        t1x, t2x = (bx0 - ox) * ix, (bx1 - ox) * ix  # (B, NBp)
+        t1y, t2y = (by0 - oy) * iy, (by1 - oy) * iy
+        t1z, t2z = (bz0 - oz) * iz, (bz1 - oz) * iz
+        bnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        bfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        bmiss = (bnear > bfar) | (bfar < t_eps)  # false on NaN: conservative
+        ent = jnp.where(bmiss | (~act), _INF, jnp.maximum(bnear, 0.0))
+        ent = jnp.where(ent != ent, 0.0, ent)  # NaN -> visit first
+        near_all_ref[:] = jnp.where(bvalid, ent, _INF)
+        visited_ref[0:1, :] = jnp.zeros_like(visited_ref[0:1, :])
+
+        def rekey():
+            """Visitation keys under PER-RAY need: a block is needed by ray
+            r only while its entry lies strictly in front of r's own best
+            hit. Unvisited-needed min over rays; resolved rays (and rays
+            whose best beat a block's entry) contribute nothing."""
+            per_best = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B,1)
+            na = near_all_ref[:]
+            key = jnp.min(
+                jnp.where(na < per_best, na, _INF), axis=0, keepdims=True
+            )
+            near_ref[0:1, :] = jnp.where(
+                visited_ref[0:1, :] > 0.0, _INF, key
+            )
+
+        rekey()
+        base_extract = _make_extract(near_ref)
+        vis_iota = jax.lax.broadcasted_iota(
+            jnp.int32, visited_ref.shape, 1
+        )[0:1, :]
+
+        def extract():
+            m, idx = base_extract()
+            visited_ref[0:1, :] = jnp.where(
+                vis_iota == idx, 1.0, visited_ref[0:1, :]
+            )
+            return m, idx
+
+        far_bound = None
+    else:
+        keys, far_bound = _dense_near(blk_bbox_t_ref, rays_ref, t_eps)
+        near_ref[0:1, :] = keys
+        extract = _make_extract(near_ref)
 
     def dma(slot, blk_i):
         return pltpu.make_async_copy(
@@ -683,6 +757,11 @@ def _blk_kernel(
             jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
             jnp.maximum(t1z, t2z),
         )
+        if per_ray:
+            # Fresh per-ray bound: a ray culls every cluster at or behind
+            # its OWN best hit, so stale/prefetched block visits degrade to
+            # a header cull with an empty inner queue (self-guarding).
+            tmax = jnp.min(best_t_ref[:], axis=1, keepdims=True)  # (B, 1)
         # NaN-conservative: comparisons false on NaN -> lane counts as hit.
         miss = (near > far) | (far < t_eps) | (near > tmax)
         pierce = (~miss) & act & valid  # (B, 128)
@@ -720,62 +799,114 @@ def _blk_kernel(
         def _(slot=slot, i=i):
             dma(jnp.int32(slot), i).start()
 
-    def cond(c):
-        quad, _base, tmax, _nv, _nc = c
-        return (quad[0][0] < _CUT) & (quad[0][0] <= tmax)
+    if per_ray:
+        # Per-ray loop: the recomputed keys already encode need (a key is
+        # +inf once no ray's own best can be beaten there), so the cond is
+        # just key-exhaustion and no tmax rides the carry. Visits b/c/d
+        # run unguarded -- their fresh per-ray inner cull empties the
+        # mini-queue of a stale block, so the guard would only save one
+        # header-cull pass.
+        def cond(c):
+            quad, _base, _nv, _nc = c
+            return quad[0][0] < _CUT
 
-    def body(c):
-        quad, base, tmax, n_visit, n_clu = c
-        nxt = []
-        for j in range(4):
-            m_n, i_n = extract()
-            nxt.append((m_n, i_n))
+        def body(c):
+            quad, base, n_visit, n_clu = c
+            rekey()  # reflects every visit of the PREVIOUS iteration
+            nxt = []
+            for j in range(4):
+                m_n, i_n = extract()
+                nxt.append((m_n, i_n))
 
-            @pl.when(m_n < _CUT)
-            def _(j=j, i_n=i_n):
-                dma((base + 4 + j) & 7, i_n).start()
+                @pl.when(m_n < _CUT)
+                def _(j=j, i_n=i_n):
+                    dma((base + 4 + j) & 7, i_n).start()
 
-        # Visit a: the loop cond already proved it is in front of the hit
-        # front. Visits b/c/d re-check against ONE fresh tmax taken after
-        # visit a (the big front advance; a per-visit recompute measured no
-        # better); a stale block's DMA is waited but its compute skipped.
-        n_clu = visit(base, quad[0][1], tmax, n_clu)
-        n_visit = n_visit + 1
-        tmax_now = _packet_tmax(best_t_ref, act, far_bound)
-        for j in range(1, 4):
-            def do_visit(args, j=j):
-                nv, nc = args
-                nc2 = visit(
-                    (base + j) & 7, quad[j][1], tmax_now, nc,
-                    guard_m=quad[j][0],
+            n_clu = visit(base, quad[0][1], _INF, n_clu)
+            n_visit = n_visit + 1
+            for j in range(1, 4):
+                def do_visit(args, j=j):
+                    nv, nc = args
+                    return nv + 1, visit(
+                        (base + j) & 7, quad[j][1], _INF, nc
+                    )
+
+                n_visit, n_clu = jax.lax.cond(
+                    quad[j][0] < _CUT,
+                    do_visit,
+                    lambda args: args,
+                    (n_visit, n_clu),
                 )
-                return nv + 1, nc2
+            return tuple(nxt), (base + 4) & 7, n_visit, n_clu
 
-            n_visit, n_clu = jax.lax.cond(
-                quad[j][0] < _CUT,
-                do_visit,
-                lambda args: args,
-                (n_visit, n_clu),
-            )
-        return (
-            tuple(nxt),
-            (base + 4) & 7,
-            _packet_tmax(best_t_ref, act, far_bound),
-            n_visit,
-            n_clu,
+        quad_f, base_f, n_visit, n_clu = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.int32(0),
+            ),
         )
+    else:
+        def cond(c):
+            quad, _base, tmax, _nv, _nc = c
+            return (quad[0][0] < _CUT) & (quad[0][0] <= tmax)
 
-    quad_f, base_f, _tm, n_visit, n_clu = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
-            jnp.int32(0),
-            _packet_tmax(best_t_ref, act, far_bound),
-            jnp.int32(0),
-            jnp.int32(0),
-        ),
-    )
+        def body(c):
+            quad, base, tmax, n_visit, n_clu = c
+            nxt = []
+            for j in range(4):
+                m_n, i_n = extract()
+                nxt.append((m_n, i_n))
+
+                @pl.when(m_n < _CUT)
+                def _(j=j, i_n=i_n):
+                    dma((base + 4 + j) & 7, i_n).start()
+
+            # Visit a: the loop cond already proved it is in front of the
+            # hit front. Visits b/c/d re-check against ONE fresh tmax taken
+            # after visit a (the big front advance; a per-visit recompute
+            # measured no better); a stale block's DMA is waited but its
+            # compute skipped.
+            n_clu = visit(base, quad[0][1], tmax, n_clu)
+            n_visit = n_visit + 1
+            tmax_now = _packet_tmax(best_t_ref, act, far_bound)
+            for j in range(1, 4):
+                def do_visit(args, j=j):
+                    nv, nc = args
+                    nc2 = visit(
+                        (base + j) & 7, quad[j][1], tmax_now, nc,
+                        guard_m=quad[j][0],
+                    )
+                    return nv + 1, nc2
+
+                n_visit, n_clu = jax.lax.cond(
+                    quad[j][0] < _CUT,
+                    do_visit,
+                    lambda args: args,
+                    (n_visit, n_clu),
+                )
+            return (
+                tuple(nxt),
+                (base + 4) & 7,
+                _packet_tmax(best_t_ref, act, far_bound),
+                n_visit,
+                n_clu,
+            )
+
+        quad_f, base_f, _tm, n_visit, n_clu = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
+                jnp.int32(0),
+                _packet_tmax(best_t_ref, act, far_bound),
+                jnp.int32(0),
+                jnp.int32(0),
+            ),
+        )
 
     # Drain: the carried quad's DMAs were started but never waited.
     for j in range(4):
@@ -789,6 +920,126 @@ def _blk_kernel(
         out_stats_ref[:] = jnp.where(
             lane == 0, n_visit, jnp.where(lane == 1, n_clu, 0)
         )
+
+
+def _first_blocks_kernel(blk_bbox_t_ref, rays_ref, out_ref, *, t_eps):
+    """Per-ray traversal-order sort key for the binned blk path.
+
+    One dense (B, NBp) slab pass (same maths as `_dense_near`, reduced
+    per RAY instead of per box) yields each ray's nearest and
+    second-nearest pierced block; the emitted key is
+
+        ((first * (NBp + 1) + second) * 8 + direction_octant)
+
+    so an argsort groups rays that NEED the same first block (then the
+    same second block, then a similar heading) into the same packets.
+    Rays that pierce nothing key to _BIG_ID - 1, inactive rays to
+    _BIG_ID -- both sort to the tail where their packets exit the
+    traversal immediately. int32 capacity bounds NBp at ~16k blocks
+    (~67M triangles at branch 32); assert in the wrapper.
+    """
+    n = blk_bbox_t_ref.shape[1]
+    batch = rays_ref.shape[0]
+    ox, oy, oz, dx, dy, dz, act = _ray_columns(rays_ref)
+    ix, iy, iz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+    bx0, by0, bz0 = blk_bbox_t_ref[0:1, :], blk_bbox_t_ref[1:2, :], blk_bbox_t_ref[2:3, :]
+    bx1, by1, bz1 = blk_bbox_t_ref[3:4, :], blk_bbox_t_ref[4:5, :], blk_bbox_t_ref[5:6, :]
+    valid = blk_bbox_t_ref[6:7, :] > 0.0
+
+    t1x, t2x = (bx0 - ox) * ix, (bx1 - ox) * ix  # (B, NBp)
+    t1y, t2y = (by0 - oy) * iy, (by1 - oy) * iy
+    t1z, t2z = (bz0 - oz) * iz, (bz1 - oz) * iz
+    near = jnp.maximum(
+        jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+        jnp.minimum(t1z, t2z),
+    )
+    far = jnp.minimum(
+        jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+        jnp.maximum(t1z, t2z),
+    )
+    miss = (near > far) | (far < t_eps)  # false on NaN -> conservative hit
+    key = jnp.where(miss, _INF, jnp.maximum(near, 0.0))
+    key = jnp.where(key != key, 0.0, key)  # NaN -> treat as nearest
+    key = jnp.where(valid, key, _INF)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (batch, n), 1)
+    first = jnp.min(key, axis=1, keepdims=True)  # (B, 1)
+    fidx = jnp.min(jnp.where(key <= first, iota, _BIG_ID), axis=1, keepdims=True)
+    key2 = jnp.where(iota == fidx, _INF, key)
+    second = jnp.min(key2, axis=1, keepdims=True)
+    sidx = jnp.min(
+        jnp.where(key2 <= second, iota, _BIG_ID), axis=1, keepdims=True
+    )
+    sidx = jnp.where(second >= _CUT, n, sidx)
+
+    octant = (
+        (dx > 0.0).astype(jnp.int32)
+        + 2 * (dy > 0.0).astype(jnp.int32)
+        + 4 * (dz > 0.0).astype(jnp.int32)
+    )  # (B, 1)
+    comp = (fidx * (n + 1) + sidx) * 8 + octant
+    comp = jnp.where(first >= _CUT, _BIG_ID - 1, comp)
+    comp = jnp.where(act, comp, _BIG_ID)
+    out_ref[:] = jnp.broadcast_to(comp, (batch, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("t_eps", "packet", "interpret"))
+def first_block_keys(
+    cbvh: ClusterBVH,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    active=None,
+    t_eps: float = 1e-5,
+    packet: int = DEFAULT_PACKET,
+    interpret: bool = False,
+):
+    """(R,) int32 binned-traversal sort keys (see _first_blocks_kernel).
+
+    The pre-pass behind `sort_rays="block"`: exact first-needed-block
+    binning. The Morton origin/direction proxy cannot collapse the
+    deep-bounce packet union (254 of 488 blocks per 256-ray packet,
+    BASELINE.md round-4 analysis) because it does not know WHICH block a
+    ray actually enters first; with ~134 rays per block by pigeonhole at
+    hero scale, the exact key makes packets share their first (and
+    usually second) DMA block."""
+    assert cbvh.blk_bbox_t is not None, "run accel.cluster.with_blocks"
+    n = cbvh.blk_bbox_t.shape[1]
+    assert (n + 1) * n * 8 < 2**31, "block count overflows the int32 key"
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    num_rays = o.shape[0]
+    pad = (-num_rays) % packet
+    if active is None:
+        act = jnp.ones((num_rays,), jnp.float32)
+    else:
+        act = jax.lax.stop_gradient(active).astype(jnp.float32)
+    o_p = jnp.pad(o, ((0, pad), (0, 0)))
+    d_p = jnp.pad(d, ((0, pad), (0, 0)))
+    act_p = jnp.pad(act, (0, pad))
+    total = num_rays + pad
+    rays = jnp.concatenate(
+        [o_p, d_p, act_p[:, None], jnp.zeros((total, 1), jnp.float32)], axis=1
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_first_blocks_kernel, t_eps=t_eps),
+        grid=(total // packet,),
+        in_specs=[
+            pl.BlockSpec(
+                cbvh.blk_bbox_t.shape, lambda p: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (packet, 8), lambda p: (p, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total, 8), jnp.int32),
+        interpret=interpret,
+    )(cbvh.blk_bbox_t, rays)
+    return out[:num_rays, 0]
 
 
 def _spread3_u32(v):
@@ -824,7 +1075,7 @@ def _coherence_perm(o, d, act):
     return jnp.argsort(key)
 
 
-def _prep_rays(o, d, active, packet, sort_rays=True):
+def _prep_rays(o, d, active, packet, sort_rays=True, sort_key=None):
     # Detach the kernel INPUTS: pallas_call has no JVP/VJP rule, so any
     # tangent reaching it (e.g. ray origins carried through the bounce-scan
     # linearization of jax.grad) would crash in _pallas_call_jvp_rule.
@@ -844,7 +1095,12 @@ def _prep_rays(o, d, active, packet, sort_rays=True):
 
     perm = None
     if sort_rays and num_rays > packet:
-        perm = _coherence_perm(o, d, act)
+        if sort_key is not None:
+            # Precomputed key (first_block_keys): inactive rays already key
+            # to _BIG_ID, so they still sort to the tail.
+            perm = jnp.argsort(sort_key)
+        else:
+            perm = _coherence_perm(o, d, act)
         o, d, act = o[perm], d[perm], act[perm]
 
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
@@ -972,7 +1228,7 @@ def nearest_hit_cluster_flat(
     lanes into all-inactive packets lets them skip the unrolled intersect
     entirely (measured: default preset 21.7 vs 16.4 M rays/s fwd).
     Same interface/results as nearest_hit_cluster."""
-    # Slice off the SUP_BRANCH padding clusters -- the flat loop visits
+    # Slice off the CLUSTER_PAD padding clusters -- the flat loop visits
     # everything it is given. num_triangles is a static field.
     real_c = max(1, -(-cbvh.num_triangles // 128))
     tri = jax.lax.slice_in_dim(cbvh.tri_const, 0, real_c, axis=0)
@@ -1054,7 +1310,7 @@ def nearest_hit_cluster_flat_mxu(
 @functools.partial(
     jax.jit,
     static_argnames=("t_eps", "packet", "interpret", "stats", "mxu",
-                     "sort_rays"),
+                     "sort_rays", "per_ray"),
 )
 def nearest_hit_cluster_blk(
     cbvh: ClusterBVH,
@@ -1067,6 +1323,7 @@ def nearest_hit_cluster_blk(
     stats: bool = False,
     mxu: bool = False,
     sort_rays: bool = True,
+    per_ray: bool = False,
 ):
     """Batched nearest hit via the v3 blocked HBM kernel (big scenes).
 
@@ -1074,12 +1331,35 @@ def nearest_hit_cluster_blk(
     mxu=True, `cbvh.mxu_const` (with_mxu_blocks): the six ray/tri dot
     products then run as MXU matmuls per cluster (see _make_intersect_mxu).
     stats=True also returns (num_packets, 2) int32 [block visits, clusters
-    intersected]."""
+    intersected].
+
+    sort_rays: True = Morton origin/direction packets (coherent-beam
+    default), "block" = exact first-needed-block binning via the
+    `first_block_keys` pre-pass (kept as a DOCUMENTED NEGATIVE result:
+    measured no better than Morton on the bounce population and 4x worse
+    on coherent beams, BASELINE.md round 5), False = caller order.
+
+    per_ray=True enables per-ray early termination (the v4 kernel mode,
+    see _blk_kernel): needs (packet x NBp) f32 of extra VMEM scratch, so
+    it is limited to scenes whose 128-padded block count fits."""
     table = cbvh.mxu_const if mxu else cbvh.blk_const
     assert table is not None, "run accel.cluster.with_blocks/with_mxu_blocks"
+    assert not (mxu and per_ray), "per_ray is a plain-VPU kernel mode"
+    if per_ray:
+        nbp = cbvh.blk_bbox_t.shape[1]
+        assert packet * nbp * 4 <= 6 * 1024 * 1024, (
+            f"per_ray entry matrix {packet}x{nbp} overflows the VMEM "
+            "budget; use per_ray=False for this scene/packet size"
+        )
     branch = cbvh.mxu_branch if mxu else cbvh.blk_branch
+    sort_key = None
+    if sort_rays == "block" and o.shape[0] > packet:
+        sort_key = first_block_keys(
+            cbvh, o, d, active=active, t_eps=t_eps, packet=packet,
+            interpret=interpret,
+        )
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(
-        o, d, active, packet, sort_rays=sort_rays
+        o, d, active, packet, sort_rays=bool(sort_rays), sort_key=sort_key
     )
 
     out_shape = [
@@ -1101,6 +1381,13 @@ def nearest_hit_cluster_blk(
         pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32),
         pltpu.VMEM((1, 128), jnp.float32),
     ]
+    if per_ray:
+        scratch.append(
+            pltpu.VMEM((packet, cbvh.blk_bbox_t.shape[1]), jnp.float32)
+        )
+        scratch.append(
+            pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32)
+        )
     if mxu:
         scratch.append(pltpu.VMEM((2 * packet, 8), jnp.float32))
         scratch.append(pltpu.VMEM((8, 2 * branch + 1, 16, 128), jnp.float32))
@@ -1110,7 +1397,8 @@ def nearest_hit_cluster_blk(
 
     out = pl.pallas_call(
         functools.partial(
-            _blk_kernel, t_eps=t_eps, stats=stats, branch=branch, mxu=mxu
+            _blk_kernel, t_eps=t_eps, stats=stats, branch=branch, mxu=mxu,
+            per_ray=per_ray,
         ),
         grid=(num_packets,),
         in_specs=[

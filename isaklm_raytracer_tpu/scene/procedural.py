@@ -375,7 +375,10 @@ def hero_scene(num_triangles: int = 2_000_000, seed: int = 7) -> Scene:
 
     mats = rng.choice([white, gold, glass], n_spheres, p=[0.5, 0.3, 0.2])
     # Draw per-sphere randoms in the same interleaved order as the round-3
-    # per-sphere loop, so the generated scene is bit-identical to it.
+    # per-sphere loop: same RNG stream, matching geometry up to f32
+    # rounding (the old loop scaled in float64 and rounded once; the
+    # broadcast below rounds radii to f32 first, so last-ulp vertex
+    # differences are possible).
     cxz = np.empty((n_spheres, 2))
     radii = np.empty(n_spheres)
     cy = np.empty(n_spheres)

@@ -13,8 +13,8 @@ import jax.numpy as jnp
 import pytest
 
 from isaklm_raytracer_tpu.accel.cluster import (
+    CLUSTER_PAD,
     CLUSTER_WIDTH,
-    SUP_BRANCH,
     build_cluster_bvh,
     cluster_order,
     morton_order,
@@ -85,7 +85,7 @@ class TestBuild:
         verts = _random_soup(rng, 200)
         verts = verts[morton_order(verts)]
         cbvh = build_cluster_bvh(verts)
-        assert cbvh.num_clusters % SUP_BRANCH == 0
+        assert cbvh.num_clusters % CLUSTER_PAD == 0
         assert cbvh.tri_const.shape == (cbvh.num_clusters, 16, CLUSTER_WIDTH)
         # real clusters bound their triangles
         bb = np.asarray(cbvh.clu_bbox)
@@ -97,20 +97,6 @@ class TestBuild:
         # pad clusters have inverted boxes (always culled)
         assert (bb[n_real:, 0:3] > bb[n_real:, 3:6]).all()
 
-    def test_supercluster_contains_children(self):
-        rng = np.random.default_rng(2)
-        verts = _random_soup(rng, 500)
-        verts = verts[morton_order(verts)]
-        cbvh = build_cluster_bvh(verts)
-        sup = np.asarray(cbvh.sup_bbox)
-        clu = np.asarray(cbvh.clu_bbox).reshape(-1, SUP_BRANCH, 8)
-        real = clu[..., 0] <= clu[..., 3]
-        for s in range(sup.shape[0]):
-            if not real[s].any():
-                continue
-            kids = clu[s][real[s]]
-            assert (sup[s, 0:3] <= kids[:, 0:3].min(0) + 1e-6).all()
-            assert (sup[s, 3:6] >= kids[:, 3:6].max(0) - 1e-6).all()
 
 
 class TestKernelVsOracle:
@@ -457,3 +443,112 @@ class TestSelectionAndKnobs:
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    @pytest.mark.parametrize("branch", [16, 32])
+    def test_blk_kernel_per_ray_vs_oracle(self, branch):
+        """The v4 per-ray-early-termination mode (round-5 incoherent-ray
+        path) must match the oracle exactly, including sparse active masks
+        and rays that miss everything."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(500 + branch)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), branch)
+        # mix of coherent rays, surface-origin bounce rays and far misses
+        o1, d1 = _random_rays(rng, 300)
+        pick = rng.integers(0, verts.shape[0], 200)
+        o2 = jnp.asarray(verts[pick, 0] + 1e-3)
+        d2_np = rng.normal(size=(200, 3)).astype(np.float32)
+        d2 = jnp.asarray(d2_np / np.linalg.norm(d2_np, axis=1, keepdims=True))
+        o = jnp.concatenate([o1, o2])
+        d = jnp.concatenate([d1, d2])
+        act = jnp.asarray(rng.random(500) > 0.3)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_blk(
+            cbvh, o, d, active=act, interpret=True, per_ray=True
+        )
+        a = np.asarray(act)
+        np.testing.assert_array_equal(np.asarray(h0)[a], np.asarray(h1)[a])
+        assert not np.asarray(h1)[~a].any()
+        same = np.asarray(h0) & a
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+        # stats mode works in per-ray mode too
+        *_, st = nearest_hit_cluster_blk(
+            cbvh, o, d, active=act, interpret=True, per_ray=True, stats=True
+        )
+        st = np.asarray(st)
+        assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
+
+    def test_blk_kernel_block_sort_matches_morton(self):
+        """sort_rays="block" (the round-5 binned incoherent-ray path) must
+        be bit-identical to the Morton ordering -- traversal order cannot
+        change results (the cluster build is a partition)."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(9)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), 16)
+        # incoherent bounce-like population: origins on triangles, random
+        # directions, sparse active mask (the NEE/deep-bounce regime)
+        pick = rng.integers(0, verts.shape[0], 600)
+        o = jnp.asarray(verts[pick, 0] + 1e-3)
+        d_np = rng.normal(size=(600, 3)).astype(np.float32)
+        d = jnp.asarray(d_np / np.linalg.norm(d_np, axis=1, keepdims=True))
+        act = jnp.asarray(rng.random(600) > 0.4)
+        t1, i1, h1 = nearest_hit_cluster_blk(
+            cbvh, o, d, active=act, interpret=True
+        )
+        t2, i2, h2 = nearest_hit_cluster_blk(
+            cbvh, o, d, active=act, interpret=True, sort_rays="block"
+        )
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_first_block_keys_semantics(self):
+        """first_block_keys: the key's leading factor must be the block
+        whose bbox the ray ACTUALLY enters first; miss-all rays key to
+        _BIG_ID - 1 and inactive rays to _BIG_ID (sorted past misses)."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+        from isaklm_raytracer_tpu.kernels.intersect import (
+            _BIG_ID,
+            first_block_keys,
+        )
+
+        rng = np.random.default_rng(21)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), 16)
+        o, d = _random_rays(rng, 300)
+        act = np.ones(300, bool)
+        act[::7] = False
+        keys = np.asarray(first_block_keys(
+            cbvh, o, d, active=jnp.asarray(act), interpret=True
+        ))
+        assert keys.shape == (300,)
+        assert (keys[~act] == _BIG_ID).all()
+
+        # oracle: slab test per (ray, block) in numpy
+        bb = np.asarray(cbvh.blk_bbox_t)
+        n = bb.shape[1]
+        o_np, d_np = np.asarray(o), np.asarray(d)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            inv = 1.0 / d_np
+            t1 = (bb[0:3, :].T[None] - o_np[:, None]) * inv[:, None]  # (R, n, 3)
+            t2 = (bb[3:6, :].T[None] - o_np[:, None]) * inv[:, None]
+        near = np.minimum(t1, t2).max(axis=2)
+        far = np.maximum(t1, t2).min(axis=2)
+        pierce = (near <= far) & (far >= 1e-5) & (bb[6, :] > 0)[None]
+        entry = np.where(pierce, np.maximum(near, 0.0), np.inf)
+        first = entry.argmin(axis=1)
+        any_pierce = pierce.any(axis=1)
+        lead = keys[act] // (8 * (n + 1))
+        np.testing.assert_array_equal(
+            lead[any_pierce[act]], first[act][any_pierce[act]]
+        )
+        assert (keys[act][~any_pierce[act]] == _BIG_ID - 1).all()
