@@ -223,6 +223,7 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False,
             ids // config.width, cam_u,
         )
         from isaklm_raytracer_tpu.integrator.render import (
+            BLK_PACKET,
             blk_per_ray,
             blk_sort_mode,
         )
@@ -231,7 +232,7 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False,
         sort_mode = {"block": "block", "morton": True}[blk_sort_mode()]
         *_, st = nearest_hit_cluster_blk(
             scene.cbvh, o, dirs, stats=True, per_ray=per_ray,
-            sort_rays=sort_mode,
+            sort_rays=sort_mode, packet=BLK_PACKET,
         )
         st = np.asarray(st)
         result["blk_visits_per_packet_mean"] = round(float(st[:, 0].mean()), 1)
@@ -260,7 +261,8 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False,
 
         def bounce_kern(bo, bd):
             return nearest_hit_cluster_blk(
-                scene.cbvh, bo, bd, per_ray=per_ray, sort_rays=sort_mode
+                scene.cbvh, bo, bd, per_ray=per_ray, sort_rays=sort_mode,
+                packet=BLK_PACKET,
             )
 
         jax.block_until_ready(bounce_kern(*binputs[-1])[0])
@@ -272,7 +274,7 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False,
         bmed = sorted(btimes)[1]
         *_, bst = nearest_hit_cluster_blk(
             scene.cbvh, *binputs[0], stats=True, per_ray=per_ray,
-            sort_rays=sort_mode,
+            sort_rays=sort_mode, packet=BLK_PACKET,
         )
         bst = np.asarray(bst)
         result["bounce_population"] = {
@@ -281,6 +283,8 @@ def run_preset(preset: str, log, no_check=False, no_bwd=False,
             "visits_per_packet_mean": round(float(bst[:, 0].mean()), 1),
             "clusters_per_packet_mean": round(float(bst[:, 1].mean()), 1),
             "per_ray": bool(per_ray),
+            "packet": BLK_PACKET,
+            "blk_branch": scene.cbvh.blk_branch,
         }
         log(f"bounce population: {n_b / bmed / 1e6:.2f} M rays/s "
             f"(visits/packet {bst[:, 0].mean():.1f})")

@@ -66,11 +66,18 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
                      // CLUSTER_PAD) * CLUSTER_PAD
     big = num_clusters * 16 * CLUSTER_WIDTH * 4 > VMEM_TABLE_LIMIT
     # Big scene -> the v3/v4 blocked HBM kernels need the blocked tables
-    # (header + 32-cluster DMA blocks, plus the MXU-weight layout); built
-    # from numpy intermediates so nothing is read back from the device.
+    # (header + blk_branch-cluster DMA blocks); built from numpy
+    # intermediates so nothing is read back from the device. Default DMA
+    # block = 64 clusters: under the v4 per-ray kernel, halving the block
+    # count shrinks the needed-union visit count faster than it grows
+    # per-visit cost (round-5 sweep, BASELINE.md; round 4's global-tmax
+    # kernel preferred 32). ISAKLM_BLK_BRANCH overrides for sweeps.
+    import os
+
+    blk_branch = int(os.environ.get("ISAKLM_BLK_BRANCH", "64"))
     cbvh = build_cluster_bvh(
         verts,
-        blk_branch=32 if big else None,
+        blk_branch=blk_branch if big else None,
         mxu_tiles=not big,
     )
 

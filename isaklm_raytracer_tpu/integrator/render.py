@@ -139,9 +139,18 @@ def blk_per_ray(cbvh) -> bool:
     override = os.environ.get("ISAKLM_BLK_PER_RAY")
     if override is not None:
         return override not in ("0", "false", "off")
-    packet = int(os.environ.get("ISAKLM_PACKET", "0")) or 256
+    packet = int(os.environ.get("ISAKLM_PACKET", "0")) or BLK_PACKET
     nbp = cbvh.blk_bbox_t.shape[1] if cbvh.blk_bbox_t is not None else 0
     return 0 < packet * nbp * 4 <= 6 * 1024 * 1024
+
+
+# Production packet size for the blk path. Round-5 sweep: under per-ray
+# termination the kernel is compute-bound on cluster intersects, so the
+# smaller packet's narrower (B, 128) tiles beat the larger packet's
+# better visit sharing (hero integrator 2.38 M rays/s at 128 vs 2.24 at
+# 256 with branch-64 blocks; the round-4 global-tmax kernel preferred
+# 256). ISAKLM_PACKET overrides (make_trace_fn applies it on top).
+BLK_PACKET = 128
 
 
 def _pick_cluster_kernel(cbvh):
@@ -159,6 +168,7 @@ def _pick_cluster_kernel(cbvh):
             ki.nearest_hit_cluster_blk,
             sort_rays={"block": "block", "morton": True}[blk_sort_mode()],
             per_ray=blk_per_ray(cbvh),
+            packet=BLK_PACKET,
         ),
         "blk_mxu": ft.partial(ki.nearest_hit_cluster_blk, mxu=True),
     }[name]

@@ -483,6 +483,28 @@ class TestSelectionAndKnobs:
         st = np.asarray(st)
         assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
 
+    def test_blk_kernel_production_combo_vs_oracle(self):
+        """The exact production configuration for big scenes (branch-64
+        DMA blocks, packet 128, per-ray termination -- accel.prepare_scene
+        + integrator.render.BLK_PACKET) must match the oracle."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(64128)
+        verts = _random_soup(rng, 9000)  # > 64 clusters -> multiple blocks
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), 64)
+        o, d = _random_rays(rng, 500)
+        t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
+        t1, i1, h1 = nearest_hit_cluster_blk(
+            cbvh, o, d, interpret=True, per_ray=True, packet=128
+        )
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        same = np.asarray(h0)
+        np.testing.assert_array_equal(np.asarray(i0)[same], np.asarray(i1)[same])
+        np.testing.assert_allclose(
+            np.asarray(t0)[same], np.asarray(t1)[same], rtol=1e-4, atol=1e-6
+        )
+
     def test_blk_kernel_block_sort_matches_morton(self):
         """sort_rays="block" (the round-5 binned incoherent-ray path) must
         be bit-identical to the Morton ordering -- traversal order cannot
