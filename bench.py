@@ -360,7 +360,6 @@ def run_adaptive_1080p(log) -> dict:
     from isaklm_raytracer_tpu.config import RenderConfig
     from isaklm_raytracer_tpu.integrator.render import (
         compact_bucket,
-        make_compact_step_fn,
         make_step_fn,
     )
     from isaklm_raytracer_tpu.scene import procedural
@@ -370,6 +369,11 @@ def run_adaptive_1080p(log) -> dict:
     scene = prepare_scene(procedural.material_demo_scene())
     camera = Camera.create((0.0, 1.2, -1.8), pitch=0.15, fov=3.14159 / 2)
     key = jax.random.PRNGKey(0)
+
+    from isaklm_raytracer_tpu.integrator.render import (
+        make_candidates_fn,
+        make_tail_step_fn,
+    )
 
     rng_np = np.random.default_rng(0)
     conv = rng_np.random(config.num_pixels) < 0.95
@@ -381,13 +385,16 @@ def run_adaptive_1080p(log) -> dict:
     )
     n_active = int((~conv).sum())
     bucket = compact_bucket(n_active, config.num_pixels, config.min_wavefront)
-    cstep = make_compact_step_fn(config, bucket)
-    gb = cstep(scene, camera, gb, key)
+    # production tail-mode step (candidates gathered once, O(bucket) steps)
+    cand, _n = make_candidates_fn(config, bucket)(gb)
+    tstep = make_tail_step_fn(config, bucket)
+    gb, cand, _n = tstep(scene, camera, gb, cand, key)
     jax.block_until_ready(gb)
     steps = 3
     t0 = time.perf_counter()
     for i in range(steps):
-        gb = cstep(scene, camera, gb, jax.random.fold_in(key, 300 + i))
+        gb, cand, _n = tstep(scene, camera, gb, cand,
+                             jax.random.fold_in(key, 300 + i))
     jax.block_until_ready(gb)
     adaptive_time = (time.perf_counter() - t0) / steps
 
@@ -429,7 +436,6 @@ def run_hero_1080p(log, scene, camera) -> dict:
     from isaklm_raytracer_tpu.config import RenderConfig
     from isaklm_raytracer_tpu.integrator.render import (
         compact_bucket,
-        make_compact_step_fn,
         make_step_fn,
     )
     from isaklm_raytracer_tpu.scene.types import GBuffer
@@ -451,7 +457,15 @@ def run_hero_1080p(log, scene, camera) -> dict:
         times.append(time.perf_counter() - t0)
     full_time = sum(times) / len(times)
 
-    # 95%-converged adaptive tail step (the dominant phase at 1000 spp)
+    # 95%-converged adaptive tail step (the dominant phase at 1000 spp),
+    # measured through the PRODUCTION tail-mode machinery (candidate set
+    # gathered once, then O(bucket) steps -- integrator.render.render's
+    # loop), not the one-off compact entry step.
+    from isaklm_raytracer_tpu.integrator.render import (
+        make_candidates_fn,
+        make_tail_step_fn,
+    )
+
     rng_np = np.random.default_rng(0)
     conv = rng_np.random(config.num_pixels) < 0.95
     counts = np.where(conv, config.max_samples, 0).astype(np.int32)
@@ -462,13 +476,15 @@ def run_hero_1080p(log, scene, camera) -> dict:
     )
     n_active = int((~conv).sum())
     bucket = compact_bucket(n_active, config.num_pixels, config.min_wavefront)
-    cstep = make_compact_step_fn(config, bucket)
-    gb = cstep(scene, camera, gb, key)
+    cand, _n = make_candidates_fn(config, bucket)(gb)
+    tstep = make_tail_step_fn(config, bucket)
+    gb, cand, _n = tstep(scene, camera, gb, cand, key)
     jax.block_until_ready(gb)
     atimes = []
     for i in range(3):
         t0 = time.perf_counter()
-        gb = cstep(scene, camera, gb, jax.random.fold_in(key, 300 + i))
+        gb, cand, _n = tstep(scene, camera, gb, cand,
+                             jax.random.fold_in(key, 300 + i))
         jax.block_until_ready(gb)
         atimes.append(time.perf_counter() - t0)
     adaptive_time = sorted(atimes)[1]

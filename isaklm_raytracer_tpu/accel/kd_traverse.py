@@ -202,11 +202,16 @@ def nearest_hit_kd(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
 ):
     """Batched nearest-hit via KD traversal.
 
     o, d: (R, 3). Returns (t (R,), idx (R,) int32, hit (R,) bool), detached.
     `active` masks lanes to an immediate miss.
+    
+    `t_max` is accepted for interface parity with the Pallas kernels (a
+    search-window performance hint, integrator/nee.py) and ignored here;
+    visibility results are identical either way.
     """
     # asarray: vertices may be host numpy on an unprepared scene
     # (scene.types.build_scene defers the device transfer).

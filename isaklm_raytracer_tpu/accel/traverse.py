@@ -77,6 +77,7 @@ def nearest_hit_brute(
     t_eps: float = 1e-5,
     chunk: int = 2048,
     active=None,
+    t_max=None,
 ):
     """Nearest hit over all triangles; exact oracle for the KD traversal.
 

@@ -168,12 +168,17 @@ def nearest_hit_wavefront(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
 ):
     """Batched nearest hit. o, d: (R, 3) -> (t, idx, hit), detached.
 
     `active` (R,) bool masks lanes out of the lockstep loop entirely --
     inactive lanes report a miss and cost no iterations (the wavefront
     integrator passes its live-path mask so late bounces converge fast).
+    
+    `t_max` is accepted for interface parity with the Pallas kernels (a
+    search-window performance hint, integrator/nee.py) and ignored here;
+    visibility results are identical either way.
     """
     num_rays = o.shape[0]
     depth = wkd.max_depth + 2

@@ -51,7 +51,18 @@ def sample_direct_light(
     to_light = point - position
     shadow_dir = transforms.normalize(to_light)
 
-    t, idx, hit = trace_fn(position, shadow_dir, active=active)
+    # Search-window hint: visibility only cares whether the light triangle
+    # (sitting at |to_light|) is the nearest hit, so hits beyond the light
+    # can never change the verdict -- if the true nearest lies beyond the
+    # window the intersector may report a miss, and `idx == light_idx` is
+    # false either way. The Pallas blk kernel seeds its per-ray best with
+    # this bound and skips every block behind it (big cull win for bounce-
+    # origin shadow rays); other intersectors ignore the hint. The 0.1%
+    # slack covers f32 plane-hit error so the light itself is never culled.
+    t_light = jnp.sqrt(jnp.sum(to_light * to_light, axis=-1))
+    window = t_light * 1.001 + 1e-3
+
+    t, idx, hit = trace_fn(position, shadow_dir, active=active, t_max=window)
     visible = hit & (idx == light_idx)
 
     attrs = hit_attributes(scene, position, shadow_dir, idx, hit)

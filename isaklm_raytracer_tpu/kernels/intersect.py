@@ -326,8 +326,19 @@ def _packet_tmax(best_t_ref, act, cap):
     return jnp.max(jnp.where(act, jnp.minimum(per_ray, cap), -_INF))
 
 
-def _init_best(batch, best_t_ref, best_id_ref):
-    best_t_ref[:] = jnp.full((batch, 128), _INF, jnp.float32)
+def _init_best(batch, best_t_ref, best_id_ref, seed_t=None):
+    """seed_t (B, 1): optional per-ray search window (rays column 7).
+
+    Seeding the running best with a finite t bounds the walk -- any block
+    (and cluster) whose entry lies at or beyond the seed is never needed,
+    because a hit there could not beat the window. Used for NEE shadow
+    rays (the light sample's distance is a known upper bound on the only
+    hit that matters). The winning id starts at _BIG_ID either way, so a
+    "hit" is id != _BIG_ID, not t < inf (see _unpack)."""
+    if seed_t is None:
+        best_t_ref[:] = jnp.full((batch, 128), _INF, jnp.float32)
+    else:
+        best_t_ref[:] = jnp.broadcast_to(seed_t, (batch, 128))
     best_id_ref[:] = jnp.full((batch, 128), _BIG_ID, jnp.int32)
 
 
@@ -348,7 +359,7 @@ def _vmem_kernel(
     cols = _ray_columns(rays_ref)
     act = cols[6]
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    _init_best(batch, best_t_ref, best_id_ref)
+    _init_best(batch, best_t_ref, best_id_ref, seed_t=rays_ref[:, 7:8])
     intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
 
     keys, far_bound = _dense_near(clu_t_ref, rays_ref, t_eps)
@@ -392,7 +403,7 @@ def _hbm_kernel(
     act = cols[6]
     box_any = _make_box_any(_compact_rays(rayt_ref), t_eps)
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    _init_best(batch, best_t_ref, best_id_ref)
+    _init_best(batch, best_t_ref, best_id_ref, seed_t=rays_ref[:, 7:8])
     intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
 
     keys, far_bound = _dense_near(oct_t_ref, rays_ref, t_eps)
@@ -527,7 +538,7 @@ def _flat_kernel(
     cols = _ray_columns(rays_ref)
     act = cols[6]
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    _init_best(batch, best_t_ref, best_id_ref)
+    _init_best(batch, best_t_ref, best_id_ref, seed_t=rays_ref[:, 7:8])
     intersect = _make_intersect(cols, lane_id, best_t_ref, best_id_ref, t_eps)
 
     # All-inactive packets (compaction padding tail) skip the math entirely.
@@ -557,7 +568,7 @@ def _flat_mxu_kernel(
     cols = _ray_columns(rays_ref)
     act = cols[6]
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    _init_best(batch, best_t_ref, best_id_ref)
+    _init_best(batch, best_t_ref, best_id_ref, seed_t=rays_ref[:, 7:8])
     do_ref[:] = jnp.zeros((2 * batch, 8), jnp.float32)
     for j in range(3):
         do_ref[0:batch, j:j + 1] = rays_ref[:, 3 + j:4 + j]
@@ -636,7 +647,7 @@ def _blk_kernel(
     cols = _ray_columns(rays_ref)
     act = cols[6]
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    _init_best(batch, best_t_ref, best_id_ref)
+    _init_best(batch, best_t_ref, best_id_ref, seed_t=rays_ref[:, 7:8])
     if mxu:
         # (2B, 8) [directions; origins] matmul operand, built once per
         # packet; lanes 3-7 zero.
@@ -1081,7 +1092,8 @@ def _coherence_perm(o, d, act):
     return jnp.argsort(key)
 
 
-def _prep_rays(o, d, active, packet, sort_rays=True, sort_key=None):
+def _prep_rays(o, d, active, packet, sort_rays=True, sort_key=None,
+               t_max=None):
     # Detach the kernel INPUTS: pallas_call has no JVP/VJP rule, so any
     # tangent reaching it (e.g. ray origins carried through the bounce-scan
     # linearization of jax.grad) would crash in _pallas_call_jvp_rule.
@@ -1098,6 +1110,12 @@ def _prep_rays(o, d, active, packet, sort_rays=True, sort_key=None):
         act = jnp.ones((num_rays,), jnp.float32)
     else:
         act = jax.lax.stop_gradient(active).astype(jnp.float32)
+    # Column 7 = per-ray search-window seed (see _init_best): +inf when
+    # unbounded; NEE shadow rays pass their light-sample distance.
+    if t_max is None:
+        tm = jnp.full((num_rays,), _INF, jnp.float32)
+    else:
+        tm = jax.lax.stop_gradient(t_max).astype(jnp.float32)
 
     perm = None
     if sort_rays and num_rays > packet:
@@ -1107,14 +1125,15 @@ def _prep_rays(o, d, active, packet, sort_rays=True, sort_key=None):
             perm = jnp.argsort(sort_key)
         else:
             perm = _coherence_perm(o, d, act)
-        o, d, act = o[perm], d[perm], act[perm]
+        o, d, act, tm = o[perm], d[perm], act[perm], tm[perm]
 
     o_p = jnp.pad(o, ((0, pad), (0, 0)))
     d_p = jnp.pad(d, ((0, pad), (0, 0)))
     act_p = jnp.pad(act, (0, pad))
+    tm_p = jnp.pad(tm, (0, pad), constant_values=_INF)
 
     rays = jnp.concatenate(
-        [o_p, d_p, act_p[:, None], jnp.zeros((total, 1), jnp.float32)], axis=1
+        [o_p, d_p, act_p[:, None], tm_p[:, None]], axis=1
     )  # (total, 8)
 
     # Transposed compact layout for slab tests: comp x (8, total/8), with
@@ -1138,7 +1157,9 @@ def _unpack(out_t, out_id, num_rays, perm=None):
         # Results are in coherence-sorted order; scatter back to ray order.
         t = jnp.zeros_like(t).at[perm].set(t)
         idx = jnp.zeros_like(idx).at[perm].set(idx)
-    hit = t < _INF
+    # A hit is a WON id, not a finite t: with a seeded search window
+    # (rays column 7) t returns the seed when nothing inside beat it.
+    hit = idx != _BIG_ID
     idx = jnp.where(hit, idx, -1)
     t = jnp.where(hit, t, jnp.inf)
     return (
@@ -1173,6 +1194,7 @@ def nearest_hit_cluster(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
 ):
@@ -1181,7 +1203,9 @@ def nearest_hit_cluster(
     o, d: (R, 3) -> (t (R,), idx (R,) int32, hit (R,) bool), all detached.
     Drop-in replacement for accel.wavefront.nearest_hit_wavefront.
     """
-    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(
+        o, d, active, packet, t_max=t_max
+    )
 
     out_t, out_id = pl.pallas_call(
         functools.partial(_vmem_kernel, t_eps=t_eps),
@@ -1222,6 +1246,7 @@ def nearest_hit_cluster_flat(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
     sort_rays: bool = True,
@@ -1239,7 +1264,7 @@ def nearest_hit_cluster_flat(
     real_c = max(1, -(-cbvh.num_triangles // 128))
     tri = jax.lax.slice_in_dim(cbvh.tri_const, 0, real_c, axis=0)
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(
-        o, d, active, packet, sort_rays=sort_rays
+        o, d, active, packet, sort_rays=sort_rays, t_max=t_max
     )
 
     out_t, out_id = pl.pallas_call(
@@ -1274,6 +1299,7 @@ def nearest_hit_cluster_flat_mxu(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
 ):
@@ -1284,7 +1310,7 @@ def nearest_hit_cluster_flat_mxu(
     real_c = max(1, -(-cbvh.num_triangles // 128))
     tiles = jax.lax.slice_in_dim(cbvh.mxu_tiles, 0, real_c, axis=0)
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(
-        o, d, active, packet, sort_rays=False
+        o, d, active, packet, sort_rays=False, t_max=t_max
     )
 
     out_t, out_id = pl.pallas_call(
@@ -1324,6 +1350,7 @@ def nearest_hit_cluster_blk(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
     stats: bool = False,
@@ -1365,7 +1392,8 @@ def nearest_hit_cluster_blk(
             interpret=interpret,
         )
     rays, rays_t, num_packets, num_rays, perm = _prep_rays(
-        o, d, active, packet, sort_rays=bool(sort_rays), sort_key=sort_key
+        o, d, active, packet, sort_rays=bool(sort_rays), sort_key=sort_key,
+        t_max=t_max,
     )
 
     out_shape = [
@@ -1437,6 +1465,7 @@ def nearest_hit_cluster_hbm(
     d: jnp.ndarray,
     t_eps: float = 1e-5,
     active=None,
+    t_max=None,
     packet: int = DEFAULT_PACKET,
     interpret: bool = False,
     stats: bool = False,
@@ -1448,7 +1477,9 @@ def nearest_hit_cluster_hbm(
     stats=True additionally returns a (num_packets, 2) int32 array of
     [oct visits, clusters intersected] per packet -- the exact work counts
     behind the roofline numbers in BASELINE.md."""
-    rays, rays_t, num_packets, num_rays, perm = _prep_rays(o, d, active, packet)
+    rays, rays_t, num_packets, num_rays, perm = _prep_rays(
+        o, d, active, packet, t_max=t_max
+    )
 
     out_shape = [
         jax.ShapeDtypeStruct((num_packets * packet, 8), jnp.float32),

@@ -25,3 +25,26 @@ if os.environ.get("ISAKLM_TEST_PLATFORM", "cpu") == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct XLA CPU programs in one
+    process; with all of them held live, LLVM JIT compilation started
+    segfaulting near the end of the run (reproduced 3x at ~80%, always
+    inside backend_compile_and_load; any single module passes alone).
+    Clearing the pjit executable cache per module bounds live code size.
+    The per-module lru_cache'd step factories recompile on next use, which
+    costs a few seconds per module and nothing in correctness."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -483,6 +483,41 @@ class TestSelectionAndKnobs:
         st = np.asarray(st)
         assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
 
+    def test_blk_kernel_t_max_window(self):
+        """Seeded search windows (NEE shadow rays): hits strictly inside a
+        ray's window match the unbounded result exactly; rays whose true
+        nearest lies beyond their window report a clean miss."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(77)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), 16)
+        o, d = _random_rays(rng, 400)
+        t0, i0, h0 = nearest_hit_cluster_blk(cbvh, o, d, interpret=True,
+                                             per_ray=True)
+        # window: half the rays get a window beyond their hit (unchanged),
+        # half get one in front of it (forced miss)
+        t_np = np.asarray(t0)
+        beyond = np.where(np.isfinite(t_np), t_np * 1.5, 1e3).astype(np.float32)
+        before = np.where(np.isfinite(t_np), t_np * 0.5, 1e-2).astype(np.float32)
+        sel = np.arange(400) % 2 == 0
+        window = jnp.asarray(np.where(sel, beyond, before))
+        t1, i1, h1 = nearest_hit_cluster_blk(
+            cbvh, o, d, t_max=window, interpret=True, per_ray=True
+        )
+        np.testing.assert_array_equal(np.asarray(h1)[sel], np.asarray(h0)[sel])
+        np.testing.assert_array_equal(np.asarray(i1)[sel], np.asarray(i0)[sel])
+        np.testing.assert_array_equal(np.asarray(t1)[sel], np.asarray(t0)[sel])
+        assert not np.asarray(h1)[~sel].any()
+        assert (np.asarray(i1)[~sel] == -1).all()
+        # global-tmax mode honors the window too
+        t2, i2, h2 = nearest_hit_cluster_blk(
+            cbvh, o, d, t_max=window, interpret=True, per_ray=False
+        )
+        np.testing.assert_array_equal(np.asarray(h2), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
     def test_blk_kernel_production_combo_vs_oracle(self):
         """The exact production configuration for big scenes (branch-64
         DMA blocks, packet 128, per-ray termination -- accel.prepare_scene
