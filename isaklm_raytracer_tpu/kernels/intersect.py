@@ -598,6 +598,7 @@ def _blk_kernel(
     branch: int = 32,
     mxu: bool = False,
     per_ray: bool = False,
+    depth: int = 4,
 ):
     """v3 big-scene kernel: QUAD-visit DMA pipeline over BLOCKED clusters.
 
@@ -807,65 +808,66 @@ def _blk_kernel(
         _, _, n_clu = jax.lax.while_loop(cond, body, (m0, i0, n_clu))
         return n_clu
 
-    m0, i0 = extract()
-    m1, i1 = extract()
-    m2, i2 = extract()
-    m3, i3 = extract()
-    for slot, (m, i) in enumerate(((m0, i0), (m1, i1), (m2, i2), (m3, i3))):
-        @pl.when(m < _CUT)
-        def _(slot=slot, i=i):
-            dma(jnp.int32(slot), i).start()
+    n_pre = depth if per_ray else 4
+    pre = []
+    for slot in range(n_pre):
+        m_p, i_p = extract()
+        pre.append((m_p, i_p))
+
+        @pl.when(m_p < _CUT)
+        def _(slot=slot, i_p=i_p):
+            dma(jnp.int32(slot), i_p).start()
 
     if per_ray:
         # Per-ray loop: the recomputed keys already encode need (a key is
         # +inf once no ray's own best can be beaten there), so the cond is
-        # just key-exhaustion and no tmax rides the carry. Visits b/c/d
-        # run unguarded -- their fresh per-ray inner cull empties the
-        # mini-queue of a stale block, so the guard would only save one
-        # header-cull pass.
+        # just key-exhaustion and no tmax rides the carry. Trailing visits
+        # of a group run unguarded -- their fresh per-ray inner cull
+        # empties the mini-queue of a stale block, so a guard would only
+        # save one header-cull pass. `depth` visits retire per iteration
+        # over a 2*depth-slot ring (4 = the measured optimum; 2 trades
+        # fewer stale end-of-walk visits for less DMA latency hiding).
+        mask = 2 * depth - 1
+
         def cond(c):
-            quad, _base, _nv, _nc = c
-            return quad[0][0] < _CUT
+            grp, _base, _nv, _nc = c
+            return grp[0][0] < _CUT
 
         def body(c):
-            quad, base, n_visit, n_clu = c
+            grp, base, n_visit, n_clu = c
             rekey()  # reflects every visit of the PREVIOUS iteration
             nxt = []
-            for j in range(4):
+            for j in range(depth):
                 m_n, i_n = extract()
                 nxt.append((m_n, i_n))
 
                 @pl.when(m_n < _CUT)
                 def _(j=j, i_n=i_n):
-                    dma((base + 4 + j) & 7, i_n).start()
+                    dma((base + depth + j) & mask, i_n).start()
 
-            n_clu = visit(base, quad[0][1], _INF, n_clu)
+            n_clu = visit(base, grp[0][1], _INF, n_clu)
             n_visit = n_visit + 1
-            for j in range(1, 4):
+            for j in range(1, depth):
                 def do_visit(args, j=j):
                     nv, nc = args
                     return nv + 1, visit(
-                        (base + j) & 7, quad[j][1], _INF, nc
+                        (base + j) & mask, grp[j][1], _INF, nc
                     )
 
                 n_visit, n_clu = jax.lax.cond(
-                    quad[j][0] < _CUT,
+                    grp[j][0] < _CUT,
                     do_visit,
                     lambda args: args,
                     (n_visit, n_clu),
                 )
-            return tuple(nxt), (base + 4) & 7, n_visit, n_clu
+            return tuple(nxt), (base + depth) & mask, n_visit, n_clu
 
         quad_f, base_f, n_visit, n_clu = jax.lax.while_loop(
             cond,
             body,
-            (
-                ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
-                jnp.int32(0),
-                jnp.int32(0),
-                jnp.int32(0),
-            ),
+            (tuple(pre), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         )
+        drain_n, drain_mask = depth, mask
     else:
         def cond(c):
             quad, _base, tmax, _nv, _nc = c
@@ -917,19 +919,20 @@ def _blk_kernel(
             cond,
             body,
             (
-                ((m0, i0), (m1, i1), (m2, i2), (m3, i3)),
+                tuple(pre),
                 jnp.int32(0),
                 _packet_tmax(best_t_ref, act, far_bound),
                 jnp.int32(0),
                 jnp.int32(0),
             ),
         )
+        drain_n, drain_mask = 4, 7
 
-    # Drain: the carried quad's DMAs were started but never waited.
-    for j in range(4):
+    # Drain: the carried group's DMAs were started but never waited.
+    for j in range(drain_n):
         @pl.when(quad_f[j][0] < _CUT)
         def _(j=j):
-            dma((base_f + j) & 7, quad_f[j][1]).wait()
+            dma((base_f + j) & drain_mask, quad_f[j][1]).wait()
 
     _finalize(batch, best_t_ref, best_id_ref, out_t_ref, out_id_ref)
     if stats:
@@ -1342,7 +1345,7 @@ def nearest_hit_cluster_flat_mxu(
 @functools.partial(
     jax.jit,
     static_argnames=("t_eps", "packet", "interpret", "stats", "mxu",
-                     "sort_rays", "per_ray"),
+                     "sort_rays", "per_ray", "pipeline_depth"),
 )
 def nearest_hit_cluster_blk(
     cbvh: ClusterBVH,
@@ -1357,6 +1360,7 @@ def nearest_hit_cluster_blk(
     mxu: bool = False,
     sort_rays: bool = True,
     per_ray: bool = False,
+    pipeline_depth: int = 4,
 ):
     """Batched nearest hit via the v3 blocked HBM kernel (big scenes).
 
@@ -1422,17 +1426,20 @@ def nearest_hit_cluster_blk(
         scratch.append(
             pltpu.VMEM((1, cbvh.blk_bbox_t.shape[1]), jnp.float32)
         )
+    slots = 2 * pipeline_depth if per_ray else 8
     if mxu:
         scratch.append(pltpu.VMEM((2 * packet, 8), jnp.float32))
         scratch.append(pltpu.VMEM((8, 2 * branch + 1, 16, 128), jnp.float32))
     else:
-        scratch.append(pltpu.VMEM((8, branch + 1, 16, 128), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+        scratch.append(
+            pltpu.VMEM((slots, branch + 1, 16, 128), jnp.float32)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((slots,)))
 
     out = pl.pallas_call(
         functools.partial(
             _blk_kernel, t_eps=t_eps, stats=stats, branch=branch, mxu=mxu,
-            per_ray=per_ray,
+            per_ray=per_ray, depth=pipeline_depth,
         ),
         grid=(num_packets,),
         in_specs=[

@@ -483,6 +483,26 @@ class TestSelectionAndKnobs:
         st = np.asarray(st)
         assert st.shape[1] == 2 and (st >= 0).all() and st[:, 0].sum() > 0
 
+    def test_blk_kernel_pipeline_depth_2(self):
+        """The per-ray loop's pipeline depth (visits per iteration / DMA
+        ring size) must not change results."""
+        from isaklm_raytracer_tpu.accel.cluster import with_blocks
+
+        rng = np.random.default_rng(22)
+        verts = _random_soup(rng, 1800)
+        verts = verts[cluster_order(verts)]
+        cbvh = with_blocks(build_cluster_bvh(verts), 16)
+        o, d = _random_rays(rng, 400)
+        t4, i4, h4 = nearest_hit_cluster_blk(
+            cbvh, o, d, interpret=True, per_ray=True
+        )
+        t2, i2, h2 = nearest_hit_cluster_blk(
+            cbvh, o, d, interpret=True, per_ray=True, pipeline_depth=2
+        )
+        np.testing.assert_array_equal(np.asarray(h4), np.asarray(h2))
+        np.testing.assert_array_equal(np.asarray(i4), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(t4), np.asarray(t2))
+
     def test_blk_kernel_t_max_window(self):
         """Seeded search windows (NEE shadow rays): hits strictly inside a
         ray's window match the unbounded result exactly; rays whose true
