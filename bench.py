@@ -519,12 +519,30 @@ def main() -> None:
     parser.add_argument("--no-bwd", action="store_true")
     parser.add_argument("--no-check", action="store_true",
                         help="skip the compiled-kernel-vs-oracle gate")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of the "
+                             "run into DIR (perfetto export; see "
+                             "BASELINE.md round-5 trace analysis)")
     args = parser.parse_args()
 
     log = (lambda *a: None) if args.json_only else (
         lambda *a: print(*a, file=sys.stderr)
     )
 
+    import contextlib
+
+    if args.trace:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.trace, create_perfetto_trace=True)
+    else:
+        trace_cm = contextlib.nullcontext()
+
+    with trace_cm:
+        _run(args, log)
+
+
+def _run(args, log) -> None:
     if args.preset != "all":
         result = run_preset(
             args.preset, log, no_check=args.no_check, no_bwd=args.no_bwd
