@@ -68,13 +68,15 @@ def prepare_scene(scene, max_depth: int = 19, leaf_size: int = 7,
     # Big scene -> the v3/v4 blocked HBM kernels need the blocked tables
     # (header + blk_branch-cluster DMA blocks); built from numpy
     # intermediates so nothing is read back from the device. Default DMA
-    # block = 64 clusters: under the v4 per-ray kernel, halving the block
-    # count shrinks the needed-union visit count faster than it grows
-    # per-visit cost (round-5 sweep, BASELINE.md; round 4's global-tmax
-    # kernel preferred 32). ISAKLM_BLK_BRANCH overrides for sweeps.
+    # block = 128 clusters (the header-tile lane maximum): under the v4
+    # per-ray kernel, halving the block count keeps shrinking the
+    # needed-union visit count faster than it grows per-visit cost
+    # (round-5 sweeps: 32 -> 64 -> 128 each won; interleaved A/B b64 vs
+    # b128 on the hero integrator: 1.24 vs 1.18 s/sample. Round 4's
+    # global-tmax kernel preferred 32). ISAKLM_BLK_BRANCH overrides.
     import os
 
-    blk_branch = int(os.environ.get("ISAKLM_BLK_BRANCH", "64"))
+    blk_branch = int(os.environ.get("ISAKLM_BLK_BRANCH", "128"))
     cbvh = build_cluster_bvh(
         verts,
         blk_branch=blk_branch if big else None,

@@ -539,15 +539,15 @@ class TestSelectionAndKnobs:
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
 
     def test_blk_kernel_production_combo_vs_oracle(self):
-        """The exact production configuration for big scenes (branch-64
+        """The exact production configuration for big scenes (branch-128
         DMA blocks, packet 128, per-ray termination -- accel.prepare_scene
         + integrator.render.BLK_PACKET) must match the oracle."""
         from isaklm_raytracer_tpu.accel.cluster import with_blocks
 
         rng = np.random.default_rng(64128)
-        verts = _random_soup(rng, 9000)  # > 64 clusters -> multiple blocks
+        verts = _random_soup(rng, 33000)  # > 128 clusters -> several blocks
         verts = verts[cluster_order(verts)]
-        cbvh = with_blocks(build_cluster_bvh(verts), 64)
+        cbvh = with_blocks(build_cluster_bvh(verts), 128)
         o, d = _random_rays(rng, 500)
         t0, i0, h0 = nearest_hit_brute(o, d, vertices=jnp.asarray(verts))
         t1, i1, h1 = nearest_hit_cluster_blk(
