@@ -28,19 +28,23 @@ The kernel FAMILY (shared maths, picked by integrator.render
     constant table lives in VMEM; the queue is over CLUSTERS. Mid scenes
     up to ~100K triangles.
   - `nearest_hit_cluster_blk` (v3/v4, the HERO production path): the
-    blocked table stays in HBM; the queue is over 32-cluster DMA BLOCKS,
-    each prefixed by a header tile carrying component-major cluster
-    bboxes, so a landed block's clusters are culled in ONE dense VPU pass
-    and walked by an extract-min mini-queue; a QUAD of blocks retires per
-    outer iteration over an 8-slot DMA ring. In the default per_ray=True
-    mode (v4, round 5) the visitation keys are recomputed each iteration
-    against EACH RAY'S OWN best hit (per-ray early termination -- the
-    packet analog of the reference's independent SIMT walks,
-    trace_ray.cuh:244-318), which collapsed deep-bounce visits 254 -> 105
-    per packet and lifted the hero integrator 1.49 -> 2.07 M rays/s fwd
-    (BASELINE.md round 5). per_ray=False keeps the round-4 global-tmax
-    behavior for scenes whose block count overflows the entry-matrix
-    VMEM budget.
+    blocked table stays in HBM; the queue is over DMA BLOCKS of
+    `blk_branch` clusters (production: 128, the header-lane maximum --
+    every halving of the block count 32 -> 64 -> 128 won under per-ray
+    termination), each prefixed by a header tile carrying
+    component-major cluster bboxes, so a landed block's clusters are
+    culled in ONE dense VPU pass and walked by an extract-min
+    mini-queue; `pipeline_depth` blocks retire per outer iteration over
+    a 2x-deep DMA ring. In the default per_ray=True mode (v4, round 5)
+    the visitation keys are recomputed each iteration against EACH
+    RAY'S OWN best hit (per-ray early termination -- the packet analog
+    of the reference's independent SIMT walks, trace_ray.cuh:244-318),
+    which collapsed deep-bounce visits to the per-ray NEEDED union and
+    lifted the hero integrator 1.49 -> 2.49 M rays/s fwd at the final
+    b128/p128 config (BASELINE.md round 5). Optional per-ray `t_max`
+    search windows (rays column 7) bound NEE shadow walks at the light
+    distance. per_ray=False keeps the round-4 global-tmax behavior for
+    scenes whose block count overflows the entry-matrix VMEM budget.
   - `nearest_hit_cluster_blk(mxu=True)` / `nearest_hit_cluster_flat_mxu`:
     documented NEGATIVE result -- the six ray/tri dot products as
     per-cluster (2B, 8) @ (8, 128) MXU matmuls measured SLOWER (too-small
